@@ -1,0 +1,50 @@
+"""Engine configuration constants.
+
+Everything that affects determinism (bucketing, salting, bloom sizing) is
+versioned here; the snapshot manifest records ``BUCKET_FN_VERSION`` so a
+resume can detect an incompatible layout (SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+# --- partitioning -----------------------------------------------------------
+# seen/frontier/bloom bucket count.  At 10^10 urls, 4096 buckets =>
+# ~2.4M hashes/bucket (~20 MB of int64) — fits a Python worker comfortably.
+# Locally we use a small count so tests exercise multi-bucket paths cheaply.
+N_BUCKETS = int(os.environ.get("CRAWLSPARK_BUCKETS", "64"))
+BUCKET_FN_VERSION = "xxhash64-pmod-v1"
+
+# mega-host salting factor (B6): bounds any (host, salt) group that flows
+# into applyInPandas so a single Python worker never sees a whole mega-host.
+SALT = int(os.environ.get("CRAWLSPARK_SALT", "8"))
+
+# --- bloom sidecar (C3) -----------------------------------------------------
+BLOOM_BITS_PER_KEY = 10          # ~1% false-positive rate
+BLOOM_NUM_HASHES = 7             # k ≈ 0.69 * bits_per_key
+BLOOM_VERSION = f"double-hash-v1:{BLOOM_BITS_PER_KEY}:{BLOOM_NUM_HASHES}"
+BLOOM_MIN_BITS = 1024            # floor so tiny buckets still work
+
+# --- politeness / scheduling ------------------------------------------------
+DEFAULT_CRAWL_DELAY = 1.0        # seconds between fetches to one host
+ROUND_SECONDS = 60.0             # wall-clock budget of one crawl round
+MAX_BUDGET_PER_HOST = 10_000     # hard cap independent of crawl_delay
+
+# --- spark tuning -----------------------------------------------------------
+SHUFFLE_PARTITIONS = int(os.environ.get("CRAWLSPARK_SHUFFLE", "32"))
+ARROW_BATCH_ROWS = 10_000        # html rows are fat; keep Arrow batches bounded
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Per-run knobs for the round loop (crawl.py)."""
+
+    n_buckets: int = N_BUCKETS
+    salt: int = SALT
+    round_seconds: float = ROUND_SECONDS
+    default_crawl_delay: float = DEFAULT_CRAWL_DELAY
+    max_budget_per_host: int = MAX_BUDGET_PER_HOST
+    max_depth: int = 10
+    rounds: int = 3

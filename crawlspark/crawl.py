@@ -1,0 +1,242 @@
+"""The iterative crawl round loop (SURVEY.md §3.2).
+
+Generalizes the reference's synchronous fetch-and-parse loop (search → fetch
+ids → parse → enqueue unseen refs → sleep → repeat) into batch rounds over
+DataFrames, one durable snapshot per round:
+
+    frontier ─(bloom probe → exact anti-join seen)→ unseen
+            ─(robots broadcast join; drop disallowed)→ allowed
+            ─(salted applyInPandas schedule; budget, sched_ts)→ scheduled
+            ─(total-order sort → fetch_log)→ exact fetch order
+            ─(as-of join pages; left-outer for misses)→ fetched
+            ─(pandas-UDF extract: text, links)→ parsed
+    frontier' = (frontier − tried) ∪ dedup(new links not seen)
+    seen'     = seen ∪ tried            (tried = scheduled ∪ disallowed)
+    commit snapshot(frontier', seen', bloom(seen'), fetch_log, metrics)
+
+Determinism (BASELINE.json north_rule): every ordering decision uses the
+total order in sched.py; a killed run resumed from any committed round
+replays the identical fetch order and seen set (property-tested).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import bloom, config, dedup, extract, fetch, metrics, polite, sched, state, urlnorm
+from .schemas import FRONTIER_SCHEMA
+
+
+def seeds_to_frontier(seeds: DataFrame, n_buckets: int) -> DataFrame:
+    """Canonicalize → hash → host → bucket; depth 0, round 0, priority 0."""
+    return (
+        seeds.select(urlnorm.canonicalize(F.col("url")).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .dropDuplicates(["url"])
+        .select(
+            "url",
+            urlnorm.url_hash(F.col("url")).alias("url_hash"),
+            urlnorm.host(F.col("url")).alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("discovered_round"),
+        )
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), n_buckets))
+    )
+
+
+def links_to_frontier(
+    parsed: DataFrame, next_round: int, n_buckets: int, max_depth: int
+) -> DataFrame:
+    """Explode outlinks of fetched pages into frontier-shaped rows."""
+    return (
+        parsed.select(
+            F.col("depth").alias("parent_depth"),
+            F.explode_outer("links").alias("raw_url"),
+        )
+        .filter(F.col("raw_url").isNotNull())
+        .filter(F.col("parent_depth") < max_depth)
+        .select(
+            urlnorm.canonicalize(F.col("raw_url")).alias("url"),
+            (F.col("parent_depth") + 1).cast("int").alias("depth"),
+        )
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .groupBy("url")
+        .agg(F.min("depth").alias("depth"))
+        .select(
+            "url",
+            urlnorm.url_hash(F.col("url")).alias("url_hash"),
+            urlnorm.host(F.col("url")).alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.col("depth"),
+            F.lit(next_round).cast("int").alias("discovered_round"),
+        )
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), n_buckets))
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_no: int,
+    cfg: config.CrawlConfig,
+    bloom_sidecar: str | None,
+    run_id: str,
+) -> dict:
+    """One crawl round; returns the new state plus round outputs."""
+    m: list[DataFrame] = []
+
+    # Bloom pre-filter: rows the bloom says are definitely-unseen skip the
+    # exact anti-join entirely; only the maybe-seen sliver (true hits + ~1%
+    # false positives) pays the shuffle against the 10^10-row seen table.
+    # A false positive is therefore re-checked, never dropped (no-false-
+    # negative invariant makes the fast path exact).
+    if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
+        probed = bloom.probe(frontier, bloom_sidecar, keep_maybe_seen=True)
+        sure_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        to_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        candidates = sure_unseen.unionByName(dedup.unseen(to_check, seen))
+    else:
+        candidates = dedup.unseen(frontier, seen)
+
+    with_delay = candidates.join(F.broadcast(robots), "host", "left")
+    allowed_flag = polite.allowed_col(F.col("url"), F.col("rules"))
+    allowed = (
+        with_delay.filter(allowed_flag)
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(cfg.default_crawl_delay)),
+        )
+        .drop("rules")
+    )
+    disallowed = with_delay.filter(~allowed_flag).select(*FRONTIER_SCHEMA.names, "bucket")
+
+    scheduled = sched.schedule(
+        allowed,
+        round_no,
+        round_seconds=cfg.round_seconds,
+        max_budget=cfg.max_budget_per_host,
+        salt=cfg.salt,
+    )
+    # materialize once: scheduled feeds fetch, fetch_log, seen', frontier'
+    scheduled = scheduled.localCheckpoint(eager=True)
+
+    fetch_log = sched.with_seq(scheduled, round_no).select("round", "seq", "url")
+
+    latest_pages = fetch.latest_at(pages.select("url", "warc_ts", "html"))
+    fetched = scheduled.select("url", "host", "depth", "crawl_delay", "sched_ts").join(
+        latest_pages, "url", "left_outer"
+    )
+    parsed = fetched.withColumn("text", extract.text_udf(F.col("html"))).withColumn(
+        "links", extract.links_udf(F.col("html"), F.col("url"))
+    ).drop("html")
+    parsed = parsed.localCheckpoint(eager=True)
+
+    tried = scheduled.select("url_hash").unionByName(disallowed.select("url_hash"))
+    new_seen = dedup.absorb(seen, tried, cfg.n_buckets)
+
+    discovered = links_to_frontier(parsed, round_no + 1, cfg.n_buckets, cfg.max_depth)
+    leftover = frontier.join(tried, "url_hash", "left_anti")
+    new_frontier = dedup.within(
+        leftover.unionByName(discovered), stable=True
+    ).join(new_seen.select("url_hash"), "url_hash", "left_anti")
+
+    m.append(metrics.stage_metrics(scheduled, run_id, round_no, "schedule"))
+    m.append(metrics.stage_metrics(parsed, run_id, round_no, "parse"))
+
+    return {
+        "scheduled": scheduled,
+        "fetch_log": fetch_log,
+        "parsed": parsed,
+        "frontier": new_frontier,
+        "seen": new_seen,
+        "metrics": m,
+    }
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    cfg: config.CrawlConfig | None = None,
+    snapshot_root: str | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> dict:
+    """Full crawl: rounds until budget/rounds exhausted or frontier empty.
+
+    Returns {"fetch_log": DF(round, seq, url), "extracted": DF(url, text),
+    "seen": DF, "frontier": DF, "rounds_run": int}.
+    """
+    cfg = cfg or config.CrawlConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    start_round = 0
+    seen: DataFrame
+    frontier: DataFrame
+    sidecar: str | None = None
+
+    if resume and snapshot_root is not None:
+        frontier, seen, last, _mf = state.load_snapshot(spark, snapshot_root, run_id)
+        start_round = last + 1
+        sidecar = state.bloom_path(snapshot_root, run_id, last)
+    else:
+        frontier = seeds_to_frontier(seeds, cfg.n_buckets)
+        seen = spark.createDataFrame([], "url_hash long, bucket int")
+
+    logs: list[DataFrame] = []
+    texts: list[DataFrame] = []
+    rounds_run = 0
+    for r in range(start_round, cfg.rounds):
+        if frontier.isEmpty():
+            break
+        out = run_round(
+            spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id
+        )
+        frontier, seen = out["frontier"], out["seen"]
+        # keep lineage bounded across rounds
+        frontier = frontier.localCheckpoint(eager=True)
+        seen = seen.localCheckpoint(eager=True)
+        logs.append(out["fetch_log"])
+        texts.append(out["parsed"].select("url", "text"))
+        rounds_run += 1
+        if snapshot_root is not None:
+            bloom_df = bloom.build(seen)
+            all_metrics = out["metrics"][0]
+            for mdf in out["metrics"][1:]:
+                all_metrics = all_metrics.unionByName(mdf)
+            state.commit_snapshot(
+                snapshot_root,
+                run_id,
+                r,
+                frontier,
+                seen,
+                bloom_df=bloom_df,
+                fetch_log=out["fetch_log"],
+                metrics=all_metrics,
+            )
+            sidecar = state.bloom_path(snapshot_root, run_id, r)
+
+    empty_log = spark.createDataFrame([], "round int, seq int, url string")
+    empty_text = spark.createDataFrame([], "url string, text string")
+    fetch_log = empty_log
+    for df in logs:
+        fetch_log = fetch_log.unionByName(df)
+    extracted = empty_text
+    for df in texts:
+        extracted = extracted.unionByName(df)
+    return {
+        "fetch_log": fetch_log,
+        "extracted": extracted,
+        "seen": seen,
+        "frontier": frontier,
+        "rounds_run": rounds_run,
+        "run_id": run_id,
+    }

@@ -1,0 +1,68 @@
+"""Dedup / seen-set operators (SURVEY.md §2 C1-C5).
+
+The reference keeps a Python ``set`` of visited ids and checks membership
+before enqueueing (O(1) in RAM).  At 10^10 URLs that set is a distributed
+table; exact truth is a bucket-co-partitioned ``left_anti`` join (C2), with
+the partitioned Bloom sidecar (bloom.py) as a cheap pre-filter (C3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import config, urlnorm
+
+
+def within(df: DataFrame, stable: bool = False) -> DataFrame:
+    """C1: in-batch dedup on url_hash.
+
+    ``stable=True`` keeps the best row per key under the frontier's total
+    order (priority, discovered_round, depth, url) — deterministic replay;
+    the plain path lets Spark pick any duplicate (cheaper: partial agg).
+    """
+    if not stable:
+        return df.dropDuplicates(["url_hash"])
+    w = Window.partitionBy("url_hash").orderBy(
+        "priority", "discovered_round", "depth", "url"
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def unseen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+    """C2: exact anti-join against the seen set.
+
+    Both sides carry ``bucket = pmod(url_hash, N)``; joining on
+    (bucket, url_hash) lets a bucket-partitioned seen table co-locate with a
+    bucket-repartitioned frontier, so at scale the shuffle moves only the
+    (small) frontier side, never the 10^10-row seen table.
+    """
+    join_cols = (
+        ["bucket", "url_hash"] if "bucket" in frontier.columns and "bucket" in seen.columns
+        else ["url_hash"]
+    )
+    return frontier.join(seen.select(*join_cols), join_cols, "left_anti")
+
+
+def absorb(seen: DataFrame, new_hashes: DataFrame, n_buckets: int = config.N_BUCKETS) -> DataFrame:
+    """C4: seen ∪ newly-fetched, re-bucketed, exactly-once per hash."""
+    new = new_hashes.select(
+        F.col("url_hash").cast("long").alias("url_hash"),
+        urlnorm.bucket(F.col("url_hash"), n_buckets).alias("bucket"),
+    )
+    return (
+        seen.select("url_hash", "bucket")
+        .unionByName(new)
+        .dropDuplicates(["url_hash"])
+    )
+
+
+def approx_sizes(df: DataFrame, *cols: str) -> DataFrame:
+    """C5: HLL++ approximate cardinalities for metrics."""
+    return df.agg(
+        *[F.approx_count_distinct(c).alias(f"approx_{c}") for c in cols]
+    )

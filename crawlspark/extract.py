@@ -1,0 +1,164 @@
+"""HTML/XML → text and outlink extraction (SURVEY.md §2 J1-J2).
+
+The reference parses NCBI eFetch XML into title+abstract text (BASELINE.json
+north_star: "eFetch/XML-to-text parsing … byte-identical extracted text per
+url").  This module generalizes that to Common-Crawl-style HTML while keeping
+the PubMed-XML path, as Arrow-batched pandas UDFs over ``html: binary``.
+
+Determinism contract (byte-identical output per url):
+* stdlib parsers only (``html.parser``, ``xml.etree``) — no environment-
+  dependent libs (SURVEY.md §7 hard-part 2);
+* decoding: UTF-8 strict, falling back to Latin-1 (which never fails);
+* extracted text := the whitespace-split tokens of the <title> plus all text
+  nodes under <body> (excluding <script>/<style>), in document order, joined
+  by single spaces — one unambiguous normal form, stable across formatting;
+* PubMed-style XML (root contains PubmedArticle / eFetch shapes): tokens of
+  ArticleTitle + AbstractText elements, same join rule.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from html import unescape
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+_SKIP_TAGS = {"script", "style"}
+_XML_HINT = re.compile(rb"^\s*<\?xml|<PubmedArticle|<PubmedArticleSet", re.I)
+
+
+def decode_bytes(b: bytes | None) -> str | None:
+    if b is None:
+        return None
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+class _TextAndLinks(HTMLParser):
+    """Single-pass collector of title/body tokens and <a href> targets."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._tokens_scoped: list[str] = []  # title/body only
+        self._tokens_all: list[str] = []  # fallback when no <body> present
+        self.links: list[str] = []
+        self._skip_depth = 0
+        self._in_title = False
+        self._in_body = False
+        self._saw_body_tag = False
+
+    @property
+    def tokens(self) -> list[str]:
+        return self._tokens_scoped if self._saw_body_tag else self._tokens_all
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "body":
+            self._in_body = True
+            self._saw_body_tag = True
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag == "title":
+            self._in_title = False
+        elif tag == "body":
+            self._in_body = False
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        toks = data.split()
+        if not toks:
+            return
+        self._tokens_all.extend(toks)
+        if self._in_title or self._in_body:
+            self._tokens_scoped.extend(toks)
+
+
+def _extract_pubmed_xml(s: str) -> str:
+    try:
+        root = ET.fromstring(s)
+    except ET.ParseError:
+        return ""
+    tokens: list[str] = []
+    for tag in ("ArticleTitle", "AbstractText"):
+        for el in root.iter(tag):
+            tokens.extend("".join(el.itertext()).split())
+    return " ".join(tokens)
+
+
+def extract_text_one(html_bytes: bytes | None) -> str | None:
+    """Pure-Python extraction for one page; the UDF maps this per Arrow batch.
+
+    Mirrors the reference's eFetch XML parsing for PubMed-shaped documents
+    and generalizes to HTML; output normal form is defined module-level.
+    """
+    if html_bytes is None:
+        return None
+    s = decode_bytes(html_bytes)
+    if s is None:
+        return None
+    if _XML_HINT.search(html_bytes[:4096]):
+        return _extract_pubmed_xml(s)
+    p = _TextAndLinks()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass  # malformed markup: keep whatever tokens were collected
+    return " ".join(p.tokens)
+
+
+def extract_links_one(html_bytes: bytes | None, base_url: str | None) -> list[str]:
+    if html_bytes is None:
+        return []
+    s = decode_bytes(html_bytes)
+    if _XML_HINT.search(html_bytes[:4096]):
+        return []  # reference uses eLink for citations; XML pages carry no hrefs
+    p = _TextAndLinks()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    if base_url:
+        return [urljoin(base_url, h) for h in p.links]
+    return list(p.links)
+
+
+@pandas_udf(StringType())
+def text_udf(html: pd.Series) -> pd.Series:
+    """J1: byte-identical text per url (BASELINE.json input_hint)."""
+    return html.map(extract_text_one)
+
+
+@pandas_udf(ArrayType(StringType()))
+def links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """J2: outlink extraction → array<string> (explode downstream)."""
+    return pd.Series(
+        [extract_links_one(h, u) for h, u in zip(html, url)], index=html.index
+    )
+
+
+__all__ = [
+    "text_udf",
+    "links_udf",
+    "extract_text_one",
+    "extract_links_one",
+    "decode_bytes",
+]

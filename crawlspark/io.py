@@ -1,0 +1,44 @@
+"""Sources & sinks (SURVEY.md §2 A1-A2, A6).
+
+On a real cluster the pages corpus is an Iceberg table
+(``spark.read.format("iceberg")`` / ``df.writeTo(...)``); no Iceberg jar
+ships in this sandbox, so the local path is plain Parquet behind the same
+functions — call sites never change (SURVEY.md §7 hard-part 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import PAGES_SCHEMA, SEED_SCHEMA
+
+ICEBERG = "iceberg"
+
+
+def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """A1: page-corpus scan.  Columns are pruned by Catalyst downstream;
+    callers should select() before joining so `html` never moves early."""
+    if fmt == ICEBERG:
+        return spark.read.format(ICEBERG).load(path)
+    return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def read_seeds(spark: SparkSession, source: str | list[str]) -> DataFrame:
+    """A2: seed list — a text file of URLs or an in-memory list."""
+    if isinstance(source, list):
+        return spark.createDataFrame([(u,) for u in source], SEED_SCHEMA)
+    return (
+        spark.read.text(source)
+        .select(F.trim(F.col("value")).alias("url"))
+        .filter(F.col("url") != "")
+    )
+
+
+def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """A6: extracted-text corpus sink (url, text)."""
+    out = df.select("url", "text")
+    if fmt == ICEBERG:
+        out.writeTo(path).createOrReplace()
+    else:
+        out.write.mode("overwrite").parquet(path)

@@ -1,0 +1,59 @@
+"""Per-partition lineage & crawl metrics (SURVEY.md §2 A5, E1-E5).
+
+The reference logs loop counters; BASELINE.json requires "per-partition
+lineage and fetch/parse metrics" attached to every snapshot.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import METRICS_SCHEMA
+
+
+def stage_metrics(
+    df: DataFrame, run_id: str, round_no: int, stage: str, rows_in: int = -1, wall_ms: int = -1
+) -> DataFrame:
+    """One metrics row per physical partition of ``df`` (rows_out = count)."""
+    spark = df.sparkSession
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(round_no).cast("int").alias("round"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id").cast("int"),
+            F.lit(rows_in).cast("long").alias("rows_in"),
+            F.col("rows_out").cast("long"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+        )
+    )
+    return spark.createDataFrame(per_part.collect(), METRICS_SCHEMA)
+
+
+class StageTimer:
+    """Driver-side wall clock for a stage; pairs with stage_metrics."""
+
+    def __init__(self) -> None:
+        self.t0 = time.monotonic()
+
+    def ms(self) -> int:
+        return int((time.monotonic() - self.t0) * 1000)
+
+
+def per_host(df: DataFrame) -> DataFrame:
+    """E1: per-host fetch/parse aggregates."""
+    return df.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("sched_ts").alias("first_ts"),
+        F.max("sched_ts").alias("last_ts"),
+    )
+
+
+def report(df: DataFrame, dims: list[str]) -> DataFrame:
+    """E3: rollup report with subtotals across dimensions."""
+    return df.rollup(*dims).agg(F.count(F.lit(1)).alias("n")).orderBy(*dims)

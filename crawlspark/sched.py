@@ -1,0 +1,148 @@
+"""Per-host priority scheduling (SURVEY.md §2 F1-F6, J4, B6, G1).
+
+Reproduces the reference crawler's fetch ordering (a FIFO-BFS queue paced by
+``time.sleep``) as a deterministic distributed schedule.  The total order —
+shared exactly with the pure-Python oracle (tests/oracle_crawler.py) — is:
+
+* per host, candidates rank by ``(priority, discovered_round, depth, url)``;
+* each host fetches its top ``B = min(cap, floor(round_seconds/crawl_delay))``
+  candidates this round, the k-th at ``sched_ts = round_start + (k-1)*delay``;
+* the global fetch order within a round is ``(sched_ts, host, url)``.
+
+Two physical paths produce the identical schedule:
+
+* ``schedule_window`` — pure window functions (whole-stage codegen, no
+  Python).  Preferred when no host is pathological.
+* ``schedule`` — BASELINE.json's "salted-key repartition + applyInPandas
+  priority queues": phase 1 runs a heapq top-B *per (host, salt)* group so a
+  mega-host (30%+ of the frontier) is split across SALT bounded groups and
+  never overwhelms one Python worker; phase 2 re-ranks the ≤ SALT*B
+  survivors per host with a window (small data) and applies the budget
+  across salts (SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+from . import config, polite
+
+# ordering key within a host (must match tests/oracle_crawler.py)
+_HOST_ORDER = ["priority", "discovered_round", "depth", "url"]
+
+
+def _with_budget(frontier: DataFrame, round_seconds: float, max_budget: int) -> DataFrame:
+    return frontier.withColumn(
+        "budget", polite.budget_col(round_seconds, max_budget)
+    )
+
+
+def _assign_ts(df: DataFrame, round_no: int, round_seconds: float) -> DataFrame:
+    round_start = float(round_no) * round_seconds
+    return df.withColumn(
+        "sched_ts",
+        (
+            F.lit(round_start)
+            + (F.col("host_rank") - 1).cast("double") * F.col("crawl_delay")
+        ).cast("double"),
+    )
+
+
+def schedule_window(
+    frontier: DataFrame,
+    round_no: int,
+    round_seconds: float = config.ROUND_SECONDS,
+    max_budget: int = config.MAX_BUDGET_PER_HOST,
+) -> DataFrame:
+    """F1+F2: rank per host, cut to budget, assign sched_ts.  Pure windows."""
+    w = Window.partitionBy("host").orderBy(*_HOST_ORDER)
+    df = _with_budget(frontier, round_seconds, max_budget)
+    return (
+        df.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .transform(lambda d: _assign_ts(d, round_no, round_seconds))
+        .drop("budget")
+    )
+
+
+def schedule(
+    frontier: DataFrame,
+    round_no: int,
+    round_seconds: float = config.ROUND_SECONDS,
+    max_budget: int = config.MAX_BUDGET_PER_HOST,
+    salt: int = config.SALT,
+) -> DataFrame:
+    """J4: salted applyInPandas priority queues, then per-host re-rank.
+
+    Identical output to ``schedule_window`` (asserted in tests); survives a
+    mega-host because no Python worker ever materializes more than one
+    (host, salt) slice, and each slice emits at most ``budget`` rows.
+    """
+    df = _with_budget(frontier, round_seconds, max_budget).withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int")
+    )
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "salt"]
+    )
+
+    def _topb(pdf: pd.DataFrame) -> pd.DataFrame:
+        # heapq priority queue per (host, salt): keep the B smallest under
+        # the host order key — the reference's queue, vectorized per group.
+        b = int(pdf["budget"].iloc[0])
+        keyed = list(
+            zip(
+                pdf["priority"],
+                pdf["discovered_round"],
+                pdf["depth"],
+                pdf["url"],
+                pdf.index,
+            )
+        )
+        best = heapq.nsmallest(b, keyed)
+        idx = [t[-1] for t in best]
+        return pdf.loc[idx].drop(columns=["salt"])
+
+    # phase 1: provisional top-B per salt slice (bounded group size).
+    # groupBy(host, salt) IS the salted-key repartition — one hash shuffle
+    # on the salted key, no extra repartition pass.
+    provisional = df.groupBy("host", "salt").applyInPandas(_topb, out_schema)
+    # phase 2: exact budget across salts — candidate set is ≤ SALT*B per
+    # host, so this window is cheap.
+    w = Window.partitionBy("host").orderBy(*_HOST_ORDER)
+    return (
+        provisional.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .transform(lambda d: _assign_ts(d, round_no, round_seconds))
+        .drop("budget")
+    )
+
+
+def order(scheduled: DataFrame) -> DataFrame:
+    """G1: the global deterministic fetch order (replay invariant).
+
+    At scale the sort key ``(sched_ts, host, url)`` IS the total order; the
+    dense ``seq`` column (a single-partition window) is attached only for
+    golden-replay validation and small outputs.
+    """
+    return scheduled.orderBy("sched_ts", "host", "url")
+
+
+def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
+    w = Window.orderBy("sched_ts", "host", "url")
+    return scheduled.select(
+        F.lit(round_no).cast("int").alias("round"),
+        F.row_number().over(w).cast("int").alias("seq"),
+        "*",
+    )
+
+
+def tiers(hosts: DataFrame, n: int = 4) -> DataFrame:
+    """F5: host-tier bucketing for scheduling fairness (ntile by backlog)."""
+    w = Window.orderBy(F.desc("pending"), "host")
+    return hosts.withColumn("tier", F.ntile(n).over(w))

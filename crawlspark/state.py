@@ -1,0 +1,133 @@
+"""Snapshot commit / resume (SURVEY.md §2 A3-A4; BASELINE.json: "every stage
+checkpoints frontier + seen-set state … so a killed run resumes exactly").
+
+Local layout (Iceberg-shaped; the Iceberg writer is a drop-in behind the
+same narrow API on a real cluster — no jar available in this sandbox):
+
+    <root>/<run_id>/round=<k>/frontier/   parquet
+                              seen/       parquet (bucketed by `bucket`)
+                              bloom/      parquet partitioned by bucket
+                              fetch_log/  parquet (round, seq, url)
+                              metrics/    parquet
+                              _manifest.json   ← written LAST = commit point
+
+A round directory without ``_manifest.json`` is an uncommitted torn write
+and is ignored on resume.  The manifest carries run_id, round, parent round,
+the bucket-fn version (detects incompatible re-bucketing — SURVEY.md §7
+hard-part 3) and per-partition row counts (lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import config
+
+MANIFEST = "_manifest.json"
+
+
+def _round_dir(root: str, run_id: str, round_no: int) -> str:
+    return os.path.join(root, run_id, f"round={round_no}")
+
+
+def _partition_counts(df: DataFrame) -> list[dict]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .collect()
+    )
+    return [{"partition_id": r["partition_id"], "rows": r["count"]} for r in rows]
+
+
+def commit_snapshot(
+    root: str,
+    run_id: str,
+    round_no: int,
+    frontier: DataFrame,
+    seen: DataFrame,
+    bloom_df: DataFrame | None = None,
+    fetch_log: DataFrame | None = None,
+    metrics: DataFrame | None = None,
+    extra: dict | None = None,
+) -> str:
+    """Write all state tables, then the manifest last (the commit point)."""
+    d = _round_dir(root, run_id, round_no)
+    if os.path.exists(d):
+        shutil.rmtree(d)  # torn previous attempt
+    lineage: dict[str, list[dict]] = {}
+
+    def _write(df: DataFrame, name: str, partition_by: str | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(os.path.join(d, name))
+        lineage[name] = _partition_counts(df)
+
+    _write(frontier, "frontier")
+    _write(seen, "seen")
+    if bloom_df is not None:
+        _write(bloom_df, "bloom", partition_by="bucket")
+    if fetch_log is not None:
+        _write(fetch_log, "fetch_log")
+    if metrics is not None:
+        _write(metrics, "metrics")
+
+    manifest = {
+        "run_id": run_id,
+        "round": round_no,
+        "parent_round": round_no - 1 if round_no > 0 else None,
+        "bucket_fn_version": config.BUCKET_FN_VERSION,
+        "bloom_version": config.BLOOM_VERSION,
+        "n_buckets": config.N_BUCKETS,
+        "lineage": lineage,
+        **(extra or {}),
+    }
+    tmp = os.path.join(d, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, MANIFEST))
+    return d
+
+
+def committed_rounds(root: str, run_id: str) -> list[int]:
+    base = os.path.join(root, run_id)
+    if not os.path.isdir(base):
+        return []
+    out = []
+    for name in os.listdir(base):
+        if name.startswith("round=") and os.path.exists(
+            os.path.join(base, name, MANIFEST)
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def load_snapshot(
+    spark: SparkSession, root: str, run_id: str, round_no: int | None = None
+) -> tuple[DataFrame, DataFrame, int, dict]:
+    """Load (frontier, seen, round, manifest) from the latest (or given)
+    committed round; refuses a snapshot written under a different bucket fn."""
+    rounds = committed_rounds(root, run_id)
+    if not rounds:
+        raise FileNotFoundError(f"no committed snapshot for run {run_id} under {root}")
+    r = round_no if round_no is not None else rounds[-1]
+    d = _round_dir(root, run_id, r)
+    with open(os.path.join(d, MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["bucket_fn_version"] != config.BUCKET_FN_VERSION:
+        raise ValueError(
+            f"snapshot bucket fn {manifest['bucket_fn_version']!r} != "
+            f"engine {config.BUCKET_FN_VERSION!r}; rebuild state"
+        )
+    frontier = spark.read.parquet(os.path.join(d, "frontier"))
+    seen = spark.read.parquet(os.path.join(d, "seen"))
+    return frontier, seen, r, manifest
+
+
+def bloom_path(root: str, run_id: str, round_no: int) -> str:
+    return os.path.join(_round_dir(root, run_id, round_no), "bloom")

@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from crawlspark.extract import extract_links_one, extract_text_one
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "extract")
+CASES = sorted(
+    os.path.basename(p)[: -len(".html")] for p in glob.glob(f"{FIXDIR}/*.html")
+)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_extract_golden_byte_identical(case):
+    with open(f"{FIXDIR}/{case}.html", "rb") as f:
+        html = f.read()
+    with open(f"{FIXDIR}/{case}.txt", "rb") as f:
+        want = f.read().decode("utf-8")
+    assert extract_text_one(html) == want
+
+
+def test_links_absolute_and_relative():
+    html = (
+        b'<html><body><a href="https://a.example/x">x</a>'
+        b'<a href="/rel">r</a><a href="sub/page">s</a>'
+        b"<a>no-href</a></body></html>"
+    )
+    links = extract_links_one(html, "https://base.example/dir/page")
+    assert links == [
+        "https://a.example/x",
+        "https://base.example/rel",
+        "https://base.example/dir/sub/page",
+    ]
+
+
+def test_links_from_xml_is_empty():
+    xml = b'<?xml version="1.0"?><PubmedArticleSet></PubmedArticleSet>'
+    assert extract_links_one(xml, "https://x.example/") == []
+
+
+def test_generator_text_roundtrip():
+    """The engine extractor must reproduce the generator's ground-truth text
+    byte-identically (BASELINE.json per-row invariant)."""
+    import gen_pages as gp
+
+    n = 200
+    for i in range(n):
+        for c in range(gp.n_captures(i)):
+            html = gp.html_of(i, c, n)
+            assert extract_text_one(html) == gp.text_of(i, c), f"page {i} c{c}"
+
+
+def test_generator_links_canonical_targets():
+    import gen_pages as gp
+
+    from crawlspark.urlnorm import canonicalize_one
+
+    from urllib.parse import urljoin
+
+    n = 100
+    for i in range(0, n, 7):
+        html = gp.html_of(i, 0, n)
+        links = extract_links_one(html, gp.url_of(i))
+        want = [urljoin(gp.url_of(i), h) for h in gp.outlinks_of(i, n)]
+        assert links == want
+        for raw in want:
+            c = canonicalize_one(raw)
+            assert c is not None and c.startswith("https://")
+
+
+def test_udfs_match_python(spark):
+    import gen_pages as gp
+    from pyspark.sql import functions as F
+
+    from crawlspark import extract
+
+    n = 60
+    rows = [(gp.url_of(i), gp.html_of(i, 0, n)) for i in range(n)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = (
+        df.select(
+            "url",
+            extract.text_udf(F.col("html")).alias("text"),
+            extract.links_udf(F.col("html"), F.col("url")).alias("links"),
+        )
+        .orderBy("url")
+        .collect()
+    )
+    from urllib.parse import urljoin
+
+    for r in got:
+        i = int(r["url"].rsplit("/", 1)[1])
+        assert r["text"] == gp.text_of(i, 0)
+        assert list(r["links"]) == [
+            urljoin(gp.url_of(i), h) for h in gp.outlinks_of(i, n)
+        ]
