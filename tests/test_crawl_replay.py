@@ -1,0 +1,148 @@
+"""End-to-end golden replay (SURVEY.md §5.4, FIXTURES.md §4).
+
+The engine run with the same seeds + politeness budget must match the
+pure-Python oracle crawler on: exact fetch order, final seen set, and
+byte-identical extracted text per url (BASELINE.json north_rule).  The
+resume test replays from every committed snapshot round and must match the
+same goldens — "a killed run resumes exactly".
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import gen_pages as gp
+from crawlspark import config, crawl
+from crawlspark.schemas import PAGES_SCHEMA
+from oracle_crawler import crawl_oracle
+
+N_PAGES = 400
+N_SEEDS = 12
+CFG = config.CrawlConfig(
+    n_buckets=16, salt=4, round_seconds=30.0, rounds=3, max_depth=6
+)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    pages_rows = gp.gen_pages_local(N_PAGES)
+    seeds = gp.gen_seeds(N_PAGES, N_SEEDS)
+    robots = gp.gen_robots()
+    pages_df = spark.createDataFrame(pages_rows, PAGES_SCHEMA)
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "url string")
+    robots_df = gp.robots_df(spark)
+    oracle = crawl_oracle(
+        seeds,
+        pages_rows,
+        robots,
+        rounds=CFG.rounds,
+        round_seconds=CFG.round_seconds,
+        default_crawl_delay=CFG.default_crawl_delay,
+        max_budget_per_host=CFG.max_budget_per_host,
+        max_depth=CFG.max_depth,
+    )
+    assert len(oracle.fetch_log) > 40, "fixture too small to be meaningful"
+    return pages_df, seeds_df, robots_df, seeds, pages_rows, robots, oracle
+
+
+def _engine_run(spark, fixtures, snapshot_root=None, run_id=None, resume=False):
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    return crawl.crawl(
+        spark,
+        seeds_df,
+        pages_df,
+        robots_df,
+        cfg=CFG,
+        snapshot_root=snapshot_root,
+        run_id=run_id,
+        resume=resume,
+    )
+
+
+def _fetch_tuples(result) -> list[tuple[int, int, str]]:
+    return sorted(
+        (r["round"], r["seq"], r["url"]) for r in result["fetch_log"].collect()
+    )
+
+
+def test_replay_matches_oracle(spark, fixtures):
+    oracle = fixtures[-1]
+    result = _engine_run(spark, fixtures)
+    got = _fetch_tuples(result)
+    want = sorted(oracle.fetch_log)
+    assert got == want
+
+    # seen set: engine stores hashes; map golden urls → xxhash64 via Spark
+    got_seen = {r["url_hash"] for r in result["seen"].collect()}
+    want_seen = {
+        r["h"]
+        for r in spark.createDataFrame([(u,) for u in sorted(oracle.seen)], "url string")
+        .select(F.xxhash64("url").alias("h"))
+        .collect()
+    }
+    assert got_seen == want_seen
+
+    # byte-identical text per url (sha256 compare)
+    got_text = {
+        r["url"]: r["text"]
+        for r in result["extracted"].collect()
+        if r["text"] is not None
+    }
+    want_text = {u: t for u, t in oracle.texts.items() if t is not None}
+    assert set(got_text) == set(want_text)
+    for u, t in want_text.items():
+        assert (
+            hashlib.sha256(got_text[u].encode()).hexdigest()
+            == hashlib.sha256(t.encode()).hexdigest()
+        ), f"text mismatch for {u}"
+
+
+def test_fetch_misses_are_marked_seen(spark, fixtures):
+    """Dangling links get scheduled once, miss the pages table, and never
+    reappear (the reference's 404 branch)."""
+    oracle = fixtures[-1]
+    page_urls = {r["url"] for r in fixtures[4]}
+    missed = [u for u in oracle.seen if u not in page_urls and "dangling" in u]
+    if missed:
+        fetched_urls = [u for _, _, u in oracle.fetch_log]
+        for u in missed:
+            assert fetched_urls.count(u) <= 1
+
+
+def test_resume_equivalence(spark, fixtures, tmp_path):
+    """Kill after each round k, resume, and compare the full goldens."""
+    oracle = fixtures[-1]
+    want = sorted(oracle.fetch_log)
+    root = str(tmp_path / "snaps")
+
+    full = _engine_run(spark, fixtures, snapshot_root=root, run_id="full")
+    assert _fetch_tuples(full) == want
+
+    for k in range(CFG.rounds - 1):
+        run_id = f"resume{k}"
+        # run only rounds 0..k with snapshots, then resume to the end
+        partial_cfg = config.CrawlConfig(**{**CFG.__dict__, "rounds": k + 1})
+        pages_df, seeds_df, robots_df = fixtures[:3]
+        part = crawl.crawl(
+            spark, seeds_df, pages_df, robots_df,
+            cfg=partial_cfg, snapshot_root=root, run_id=run_id,
+        )
+        part_log = _fetch_tuples(part)
+        rest = crawl.crawl(
+            spark, seeds_df, pages_df, robots_df,
+            cfg=CFG, snapshot_root=root, run_id=run_id, resume=True,
+        )
+        rest_log = _fetch_tuples(rest)
+        assert sorted(part_log + rest_log) == want, f"resume after round {k} diverged"
+
+        got_seen = {r["url_hash"] for r in rest["seen"].collect()}
+        want_seen = {
+            r["h"]
+            for r in spark.createDataFrame(
+                [(u,) for u in sorted(oracle.seen)], "url string"
+            ).select(F.xxhash64("url").alias("h")).collect()
+        }
+        assert got_seen == want_seen, f"seen set diverged resuming after round {k}"

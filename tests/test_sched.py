@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import gen_pages as gp
+from crawlspark import config, polite, sched, urlnorm
+
+
+@pytest.fixture(scope="module")
+def frontier(spark):
+    """Frontier-shaped rows over synthetic urls incl. the mega-host."""
+    n = 3000
+    urls = [gp.url_of(i) for i in range(n)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = (
+        df.select(
+            "url",
+            urlnorm.url_hash(F.col("url")).alias("url_hash"),
+            urlnorm.host(F.col("url")).alias("host"),
+            F.lit(0.0).alias("priority"),
+            (F.xxhash64("url") % 3).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("discovered_round"),
+        )
+        .withColumn("depth", F.abs(F.col("depth")))
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), config.N_BUCKETS))
+        .withColumn("crawl_delay", F.when(F.col("host") == "host0.example", 0.5).otherwise(2.0))
+    )
+    return out.cache()
+
+
+def test_schedule_paths_identical(spark, frontier):
+    """The applyInPandas (salted heapq) path must emit exactly the same
+    schedule as the pure-window path — same rows, ranks, timestamps."""
+    a = sched.schedule_window(frontier, round_no=0, round_seconds=60.0)
+    b = sched.schedule(frontier, round_no=0, round_seconds=60.0, salt=4)
+    cols = ["url", "host", "host_rank", "sched_ts"]
+    ra = sorted(tuple(r) for r in a.select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.select(*cols).collect())
+    assert ra == rb
+
+
+def test_budget_respected(frontier):
+    out = sched.schedule(frontier, round_no=0, round_seconds=60.0).collect()
+    per_host: dict[str, int] = {}
+    for r in out:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    for host, cnt in per_host.items():
+        delay = 0.5 if host == "host0.example" else 2.0
+        assert cnt <= max(1, math.floor(60.0 / delay))
+
+
+def test_gaps_respect_crawl_delay(spark, frontier):
+    out = sched.schedule(frontier, round_no=0, round_seconds=60.0)
+    audit = polite.gaps(out)
+    assert audit.filter(F.col("violates")).count() == 0
+
+
+def test_order_deterministic_and_total(spark, frontier):
+    out = sched.schedule(frontier, round_no=2, round_seconds=60.0)
+    seq1 = [tuple(r) for r in sched.with_seq(out, 2).select("round", "seq", "url").collect()]
+    seq2 = [tuple(r) for r in sched.with_seq(out, 2).select("round", "seq", "url").collect()]
+    assert seq1 == seq2
+    assert sorted(seq1, key=lambda t: t[1]) == seq1
+    assert len({u for _, _, u in seq1}) == len(seq1)
+    # round-2 timestamps start at 120s
+    assert all(r["sched_ts"] >= 120.0 for r in out.select("sched_ts").collect())
+
+
+def test_mega_host_is_salted(frontier):
+    """Phase-1 groups must be bounded: no (host,salt) slice exceeds budget
+    candidates after the heapq cut, and the mega-host spreads across salts."""
+    df = frontier.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(8)).cast("int")
+    )
+    n_salts = (
+        df.filter(F.col("host") == "host0.example")
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
+
+
+def test_robots_filtering(spark):
+    robots = gp.robots_df(spark)
+    urls = [
+        ("https://host3.example/p/1",),   # denied by /p/ rule
+        ("https://host3.example/ok",),    # allowed (no match)
+        ("https://host5.example/private/x",),  # denied (longest match)
+        ("https://host5.example/pub",),   # allowed by "/"
+        ("https://unknown.example/x",),   # no robots row → allowed
+    ]
+    df = spark.createDataFrame(urls, "url string").select(
+        "url", urlnorm.host(F.col("url")).alias("host")
+    )
+    joined = df.join(F.broadcast(robots), "host", "left")
+    flag = polite.allowed_col(F.col("url"), F.col("rules"))
+    got = {r["url"]: r["ok"] for r in joined.select("url", flag.alias("ok")).collect()}
+    assert got == {
+        "https://host3.example/p/1": False,
+        "https://host3.example/ok": True,
+        "https://host5.example/private/x": False,
+        "https://host5.example/pub": True,
+        "https://unknown.example/x": True,
+    }
