@@ -1,0 +1,375 @@
+"""Text-analysis & dedup operators for training-data pipelines.
+
+Beyond the reference's own surface (session mandate): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, language-ID, quality scoring, token
+counting, document fingerprinting — all over a ``documents``-shaped table
+(id, text).  Everything except SimHash is pure built-in expressions
+(whole-stage codegen); SimHash is an Arrow-batched pandas UDF.
+
+Scale notes: MinHash/LSH is the 100 TB dedup path — signatures are computed
+scan-side with no shuffle; the only shuffles are the band-bucket self-join
+(keys are (band, band_hash), well distributed by construction) and the final
+pair dedup.  Exact dedup is one hash-aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------- exact dedup
+
+def text_key(col: Column) -> Column:
+    """Normalized exact-dup key: md5 of lowercased, space-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: key, size, min id."""
+    return (
+        df.select(F.col(id_col), text_key(F.col(text_col)).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-dup group."""
+    w = Window.partitionBy(text_key(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------------- shingles
+
+def words_col(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def shingles_col(text_col: Column, k: int = 3) -> Column:
+    """Distinct word-k-shingles of a text column, as array<string>.
+
+    Built from sequence+transform (no UDF): shingle i joins words[i..i+k-1].
+    """
+    w = words_col(text_col)
+    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
+    )
+
+
+# -------------------------------------------------------------------- minhash
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, k: int = 3) -> DataFrame:
+    """(id, sig: array<long>) — sig[i] = min over shingles of xxhash64(i||s).
+
+    Computed scan-side: explode shingles once, n_hashes parallel min-aggs
+    (one hash-aggregate, partial combine on the map side — no wide shuffle
+    of raw text).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any band bucket become a pair.
+
+    Band hash keys distribute uniformly, so the self-join shuffle is skew-
+    free by construction; pairs are deduped and oriented id_a < id_b.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by true shingle Jaccard."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------------------- simhash
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text; md5-based word hashes, numpy bit-votes."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.split()
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in words
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sh.astype(np.int64))
+    return pd.Series(out, index=texts.index)
+
+
+@pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return _simhash_batch(texts)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole: ≤3 differing bits ⇒
+    at least one identical chunk), so the self-join is equi on (chunk_idx,
+    chunk_value), never a cross product.
+    """
+    sh = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# -------------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold via explode + equi-join.
+
+    The join key is the shingle itself — at scale, restrict with
+    ``block_col`` (e.g. same source/host) to bound the pair space.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------------- language
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "fr": ["le", "la", "et", "de", "est", "un"],
+    "es": ["el", "la", "y", "de", "es", "un"],
+    "de": ["der", "die", "und", "von", "ist", "ein"],
+    "zh": ["de5", "shi4", "he2", "zai4", "le5", "you3"],
+}
+
+
+def lang_scores(text_col: Column) -> list[Column]:
+    w = F.array_distinct(words_col(text_col))
+    cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(F.size(F.array_intersect(w, marker_arr)).alias(f"score_{lang}"))
+    return cols
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-marker language ID; deterministic alphabetical
+    tie-break; 'und' (undetermined) when no marker hits."""
+    scored = df.select(F.col(id_col), F.col(text_col).alias("__t")).select(
+        id_col, *lang_scores(F.col("__t"))
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # reversed so earlier langs win ties
+        pred = F.when(
+            (F.col(f"score_{l}") == best) & (best > 0), F.lit(l)
+        ).otherwise(pred)
+    return scored.withColumn("pred_lang", pred)
+
+
+# --------------------------------------------------------------------- quality
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score (all built-ins)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(words_col(t))
+    stop_arr = F.array(F.lit("a"), F.lit("the"), F.lit("and"), F.lit("of"))
+    n_stop = F.size(F.array_intersect(F.array_distinct(words_col(t)), stop_arr))
+    avg_wlen = (n_chars - (n_words - 1)) / n_words
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        n_stop.alias("n_stopword_kinds"),
+        F.round(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+            + F.least(F.lit(1.0), n_stop / F.lit(4.0)) * 0.5,
+            4,
+        ).alias("quality"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (word pieces / digits)."""
+    t = F.col(text_col)
+    ws = F.size(words_col(t))
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+    return df.select(
+        F.col(id_col), ws.alias("ws_tokens"), bpe.alias("re_tokens")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint over normalized text."""
+    return df.select(
+        F.col(id_col),
+        text_key(F.col(text_col)).alias("fp_md5"),
+        F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")).alias("fp_xx64"),
+    )

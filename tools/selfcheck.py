@@ -1,0 +1,134 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and its
+``oracle_sql()`` twin on DuckDB over the same sf dir, then compares
+row-count, column names, and order-insensitive values (columns sorted by
+name, rows sorted by all columns — mirroring the driver's value-hash).
+
+Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (np.floating,)):
+        return _norm_cell(float(v))
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _norm_frame(pdf):
+    cols = sorted(pdf.columns)
+    rows = []
+    for t in pdf[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_norm_cell(v) for v in t))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return cols, rows
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from crawlspark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("selfcheck", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(spdf)} rows  ({time.monotonic()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        scols, srows = _norm_frame(spdf)
+        ocols, orows = _norm_frame(opdf)
+        ok = True
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: row count spark={len(srows)} duckdb={len(orows)}")
+            ok = False
+        elif scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} duckdb={ocols}")
+            ok = False
+        elif srows != orows:
+            diff = [
+                (a, b) for a, b in zip(srows, orows) if a != b
+            ][:3]
+            print(f"FAIL {name}: {len([1 for a,b in zip(srows,orows) if a!=b])} differing rows, e.g. {diff}")
+            ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows  ({time.monotonic()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append(name)
+
+    print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail ==")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
