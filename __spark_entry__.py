@@ -706,14 +706,15 @@ def dedup_simhash(spark, sf):
 
 @_q(
     "ngram_jaccard",
-    f"""WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
-        sh AS (SELECT DISTINCT doc_id,
+    f"""WITH w AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, source,
                       unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
                FROM w),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
         SELECT id_a, id_b,
                round(n_common / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
@@ -723,10 +724,12 @@ def dedup_simhash(spark, sf):
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.12""",
 )
 def ngram_jaccard(spark, sf):
+    """Blocked by ``source`` (host-like key) — the scale-correct pattern:
+    the shingle self-join only compares documents within one block."""
     from crawlspark import textops
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    return textops.ngram_jaccard_pairs(d, k=3, threshold=0.12)
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    return textops.ngram_jaccard_pairs(d, k=3, threshold=0.12, block_col="source")
 
 
 @_q(

@@ -1,0 +1,180 @@
+"""Benchmark harness (SURVEY.md §6, M5).
+
+Default mode (what the driver runs): headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; prints ONE JSON line
+``{"metric", "value", "unit", "queries", "sf", ...}``.
+
+``--scaling`` mode (the north-rule evidence; no real cluster in this
+sandbox): runs the SAME crawl job on the SAME synthetic pages input at
+local[8] and local[32] and reports throughput at both plus efficiency
+``(T8_wall / T32_wall) / 4`` → written to BENCH/BASELINE.md by
+tools/write_baseline.py.
+
+The crawl headline metric is BASELINE.json's north star: URLs
+scheduled+extracted per second through the full pipeline (canon → hash →
+bloom-less dedup → robots → salted schedule → as-of fetch join → pandas-UDF
+extraction → link discovery).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+# executors spawn their own Python workers: make gen_pages importable there
+os.environ["PYTHONPATH"] = (
+    f"{_ROOT}:{os.path.join(_ROOT, 'tests')}:" + os.environ.get("PYTHONPATH", "")
+)
+
+BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "120000"))
+BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "3000"))
+PAGES_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "data", f"pages_{BENCH_PAGES}"
+)
+
+
+def _spark(master: str, cpus: int):
+    from crawlspark.session import get_spark
+
+    return get_spark(
+        f"crawlspark-bench-{master}",
+        master=master,
+        shuffle_partitions=max(16, cpus * 2),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+
+
+def ensure_pages(spark) -> str:
+    """Generate the deterministic synthetic pages corpus once (cached)."""
+    if not os.path.exists(os.path.join(PAGES_CACHE, "_SUCCESS")):
+        import gen_pages as gp
+
+        df = gp.pages_df(spark, BENCH_PAGES, distributed=True)
+        df.write.mode("overwrite").parquet(PAGES_CACHE)
+    return PAGES_CACHE
+
+
+def bench_crawl(spark, pages_path: str, rounds: int = 2) -> dict:
+    """The headline: full crawl pipeline, urls scheduled+extracted/sec."""
+    import gen_pages as gp
+
+    from crawlspark import config, crawl
+    from crawlspark.schemas import PAGES_SCHEMA
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+    seeds = spark.createDataFrame(
+        [(s,) for s in gp.gen_seeds(BENCH_PAGES, BENCH_SEEDS)], "url string"
+    )
+    robots = gp.robots_df(spark)
+    cfg = config.CrawlConfig(
+        rounds=rounds,
+        round_seconds=200_000.0,  # politeness budget wide-open: throughput test
+        max_budget_per_host=1_000_000,
+        n_buckets=64,
+        salt=8,
+        max_depth=10,
+    )
+    t0 = time.monotonic()
+    result = crawl.crawl(spark, seeds, pages, robots, cfg=cfg)
+    n_fetched = result["fetch_log"].count()
+    n_extracted = result["extracted"].filter("text IS NOT NULL").count()
+    wall = time.monotonic() - t0
+    return {
+        "wall_sec": round(wall, 2),
+        "n_fetched": n_fetched,
+        "n_extracted": n_extracted,
+        "urls_per_sec": round(n_fetched / wall, 1),
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Representative operator benchmarks over the driver's sf tables."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = [
+        "agg_basic",
+        "join_equi",
+        "win_cumsum",
+        "ngram_jaccard",
+        "dedup_minhash",
+        "ann_brute",
+        "fingerprint",
+        "lang_id",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 2)
+    return out
+
+
+def run_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _spark(f"local[{cpus}]", cpus)
+    pages_path = ensure_pages(spark)
+
+    queries: dict[str, float] = {}
+    crawl_stats = bench_crawl(spark, pages_path)
+    queries["crawl_pipeline"] = crawl_stats["wall_sec"]
+    queries.update(bench_queries(spark, sf_dir))
+    total = round(sum(queries.values()), 2)
+
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl pipeline (urls scheduled+extracted) + operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl_urls_per_sec": crawl_stats["urls_per_sec"],
+                "crawl_n_fetched": crawl_stats["n_fetched"],
+                "cpus": cpus,
+                "bench_pages": BENCH_PAGES,
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_scaling() -> None:
+    """North-rule scaling proxy: same job, same input, local[8] vs local[32]."""
+    results = {}
+    for cpus in (8, 32):
+        spark = _spark(f"local[{cpus}]", cpus)
+        ensure_pages(spark)
+        # warm-up JIT/IO once at small cost, then measure
+        stats = bench_crawl(spark, PAGES_CACHE)
+        results[cpus] = stats
+        spark.stop()
+        print(f"local[{cpus}]: {stats}", file=sys.stderr)
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = round((t8 / t32) / 4.0, 3)
+    out = {
+        "throughput_8": results[8]["urls_per_sec"],
+        "throughput_32": results[32]["urls_per_sec"],
+        "wall_8": t8,
+        "wall_32": t32,
+        "n_fetched": results[32]["n_fetched"],
+        "scaling_efficiency": eff,
+        "bench_pages": BENCH_PAGES,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

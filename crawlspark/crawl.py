@@ -89,6 +89,7 @@ def run_round(
     cfg: config.CrawlConfig,
     bloom_sidecar: str | None,
     run_id: str,
+    collect_metrics: bool = True,
 ) -> dict:
     """One crawl round; returns the new state plus round outputs."""
     m: list[DataFrame] = []
@@ -148,8 +149,9 @@ def run_round(
         leftover.unionByName(discovered), stable=True
     ).join(new_seen.select("url_hash"), "url_hash", "left_anti")
 
-    m.append(metrics.stage_metrics(scheduled, run_id, round_no, "schedule"))
-    m.append(metrics.stage_metrics(parsed, run_id, round_no, "parse"))
+    if collect_metrics:
+        m.append(metrics.stage_metrics(scheduled, run_id, round_no, "schedule"))
+        m.append(metrics.stage_metrics(parsed, run_id, round_no, "parse"))
 
     return {
         "scheduled": scheduled,
@@ -198,7 +200,8 @@ def crawl(
         if frontier.isEmpty():
             break
         out = run_round(
-            spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id
+            spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id,
+            collect_metrics=snapshot_root is not None,
         )
         frontier, seen = out["frontier"], out["seen"]
         # keep lineage bounded across rounds

@@ -134,12 +134,64 @@ def order(scheduled: DataFrame) -> DataFrame:
 
 
 def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
-    w = Window.orderBy("sched_ts", "host", "url")
-    return scheduled.select(
-        F.lit(round_no).cast("int").alias("round"),
-        F.row_number().over(w).cast("int").alias("seq"),
-        "*",
+    """Attach the dense global fetch sequence WITHOUT a single-partition
+    window (which would serialize the whole round at 10^10 scale).
+
+    Two-phase zip-with-index over range partitions: range-partition + sort
+    by the total order, count rows per (ordered) partition, then add
+    ``offset[pid] + local position`` per row in one Arrow pass.  The seq
+    values depend only on the total order, not on partition boundaries.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cols = ["sched_ts", "host", "url"]
+    sc = scheduled.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    ranged = (
+        scheduled.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)  # pin partitioning for both passes
     )
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[int(r["pid"])] = acc
+        acc += int(r["count"])
+
+    schema = StructType(
+        [
+            StructField("round", IntegerType(), False),
+            StructField("seq", IntegerType(), False),
+        ]
+        + list(scheduled.schema.fields)
+    )
+
+    def _add_seq(batches):
+        ctx = TaskContext.get()
+        pos = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        for batch in batches:
+            n = batch.num_rows
+            rnd = pa.array([round_no] * n, type=pa.int32())
+            seq = pa.array(range(pos + 1, pos + n + 1), type=pa.int32())
+            pos += n
+            yield pa.RecordBatch.from_arrays(
+                [rnd, seq] + list(batch.columns),
+                names=["round", "seq"] + list(batch.schema.names),
+            )
+
+    # Materialize HERE: TaskContext.partitionId() is only meaningful while
+    # the mapInArrow stage runs directly over `ranged`'s partitions.  If the
+    # lazy plan were embedded under e.g. a union, partition ids would be
+    # renumbered and the offsets would misalign.
+    return ranged.mapInArrow(_add_seq, schema).localCheckpoint(eager=True)
 
 
 def tiers(hosts: DataFrame, n: int = 4) -> DataFrame:
