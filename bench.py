@@ -32,8 +32,8 @@ os.environ["PYTHONPATH"] = (
     f"{_ROOT}:{os.path.join(_ROOT, 'tests')}:" + os.environ.get("PYTHONPATH", "")
 )
 
-BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "120000"))
-BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "3000"))
+BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "250000"))
+BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "25000"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "data", f"pages_{BENCH_PAGES}"
 )
@@ -58,6 +58,26 @@ def ensure_pages(spark) -> str:
         df = gp.pages_df(spark, BENCH_PAGES, distributed=True)
         df.write.mode("overwrite").parquet(PAGES_CACHE)
     return PAGES_CACHE
+
+
+def warm_workers(spark) -> None:
+    """Spin up every executor's Python worker once (imports pandas/numpy +
+    the UDF module chain) so timed runs measure work, not cold starts —
+    exactly what a long-lived cluster amortizes away."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import extract, urlnorm
+
+    cpus = spark.sparkContext.defaultParallelism
+    df = spark.range(cpus * 4).repartition(cpus * 4).select(
+        F.concat(F.lit("https://w.example/"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.lit("<html><body>w</body></html>"), "UTF-8").alias("html"),
+    )
+    df.select(
+        urlnorm.canonicalize(F.col("url")),
+        extract.text_udf(F.col("html")),
+        extract.links_udf(F.col("html"), F.col("url")),
+    ).write.format("noop").mode("overwrite").save()
 
 
 def bench_crawl(spark, pages_path: str, rounds: int = 2) -> dict:
@@ -122,9 +142,13 @@ def run_default() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = _spark(f"local[{cpus}]", cpus)
     pages_path = ensure_pages(spark)
+    warm_workers(spark)
 
     queries: dict[str, float] = {}
     crawl_stats = bench_crawl(spark, pages_path)
+    spark.stop()  # fresh session for the operator suite: no leftover cached
+    spark = _spark(f"local[{cpus}]", cpus)  # state skewing those timings
+    warm_workers(spark)
     queries["crawl_pipeline"] = crawl_stats["wall_sec"]
     queries.update(bench_queries(spark, sf_dir))
     total = round(sum(queries.values()), 2)
@@ -154,7 +178,7 @@ def run_scaling() -> None:
     for cpus in (8, 32):
         spark = _spark(f"local[{cpus}]", cpus)
         ensure_pages(spark)
-        # warm-up JIT/IO once at small cost, then measure
+        warm_workers(spark)
         stats = bench_crawl(spark, PAGES_CACHE)
         results[cpus] = stats
         spark.stop()

@@ -90,9 +90,12 @@ def run_round(
     bloom_sidecar: str | None,
     run_id: str,
     collect_metrics: bool = True,
+    pages_latest_keys: DataFrame | None = None,
 ) -> dict:
     """One crawl round; returns the new state plus round outputs."""
     m: list[DataFrame] = []
+    if pages_latest_keys is None:
+        pages_latest_keys = fetch.latest_keys(pages)
 
     # Bloom pre-filter: rows the bloom says are definitely-unseen skip the
     # exact anti-join entirely; only the maybe-seen sliver (true hits + ~1%
@@ -131,9 +134,10 @@ def run_round(
 
     fetch_log = sched.with_seq(scheduled, round_no).select("round", "seq", "url")
 
-    latest_pages = fetch.latest_at(pages.select("url", "warc_ts", "html"))
-    fetched = scheduled.select("url", "host", "depth", "crawl_delay", "sched_ts").join(
-        latest_pages, "url", "left_outer"
+    fetched = fetch.lookup_latest(
+        scheduled.select("url", "host", "depth", "crawl_delay", "sched_ts"),
+        pages,
+        pages_latest_keys,
     )
     parsed = fetched.withColumn("text", extract.text_udf(F.col("html"))).withColumn(
         "links", extract.links_udf(F.col("html"), F.col("url"))
@@ -196,12 +200,15 @@ def crawl(
     logs: list[DataFrame] = []
     texts: list[DataFrame] = []
     rounds_run = 0
+    # one full-corpus pass, thin columns only, reused by every round
+    pages_latest_keys = fetch.latest_keys(pages).localCheckpoint(eager=True)
     for r in range(start_round, cfg.rounds):
         if frontier.isEmpty():
             break
         out = run_round(
             spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id,
             collect_metrics=snapshot_root is not None,
+            pages_latest_keys=pages_latest_keys,
         )
         frontier, seen = out["frontier"], out["seen"]
         # keep lineage bounded across rounds

@@ -52,6 +52,54 @@ def latest_at(pages: DataFrame, cutoff: Column | str | None = None) -> DataFrame
     )
 
 
+def latest_keys(pages: DataFrame) -> DataFrame:
+    """Thin (url, warc_ts) table of each url's newest capture.
+
+    Computed ONCE per crawl, not per round: the aggregation shuffles only
+    two thin columns (map-side partial agg), never the fat ``html`` bytes.
+    At 10^10 scale this is the only full-corpus pass, and it is reusable
+    across every round (pages are immutable within a crawl).
+    """
+    return pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+
+
+def lookup_latest(
+    scheduled: DataFrame,
+    pages: DataFrame,
+    keys: DataFrame,
+    broadcast_wanted: bool = True,
+) -> DataFrame:
+    """As-of fetch join that never shuffles ``html``.
+
+    1. ``wanted = scheduled.url ⋈ keys`` — thin (url, warc_ts) pairs, one
+       per scheduled url, bounded by the round's politeness budget.
+    2. ``hits = pages ⋈ broadcast(wanted)`` — broadcast hash join: the fat
+       pages scan stays in place; html bytes leave the scan only for rows
+       actually scheduled this round.  (localCheckpoint-backed frames carry
+       no size stats, so without the explicit hint Spark would plan a
+       sort-merge join and shuffle the whole corpus every round.)
+    3. ``scheduled left_outer ⋈ hits`` — misses keep null html/warc_ts (the
+       reference's HTTP-404 branch).
+
+    ``broadcast_wanted=False`` for mega-round batches that exceed broadcast
+    limits — then pre-bucket the pages table by url (Iceberg bucket
+    transform) so the SMJ shuffles only the scheduled side.
+    """
+    wanted = scheduled.select("url").join(keys, "url", "inner")
+    build = F.broadcast(wanted) if broadcast_wanted else wanted
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.col("html"))
+    hits = (
+        pages.select("url", "warc_ts", "html")
+        .join(build, ["url", "warc_ts"], "inner")
+        # deterministic pick if several captures share (url, max warc_ts);
+        # this window sees only scheduled-row-count rows, never the corpus
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return scheduled.join(hits, "url", "left_outer")
+
+
 def in_window(events: DataFrame, slots: DataFrame, keys: list[str], lo: str, hi: str, ts: str) -> DataFrame:
     """D6: range/interval join — event ts within a slot's [lo, hi) window,
     equi on ``keys`` first so Spark plans a hash/SMJ join with a range

@@ -21,8 +21,15 @@ def get_spark(
     cluster pass ``None`` and let spark-submit supply it.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # make the engine package importable by executor python workers and
+    # preload the UDF import chain in the worker daemon (fork inherits it)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{py_path}" if py_path else repo_root
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.python.daemon.module", "crawlspark.worker_daemon")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or config.SHUFFLE_PARTITIONS),

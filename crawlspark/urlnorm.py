@@ -151,6 +151,14 @@ def host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(host_one)
 
 
+# The functions ARE pure, but marking them non-deterministic stops Catalyst
+# from inlining the UDF expression into pushed-down predicates / collapsed
+# projections — measured to evaluate the UDF up to ~5x per row otherwise
+# (one ArrowEvalPython per operator that references the output column).
+canonicalize_udf = canonicalize_udf.asNondeterministic()
+host_udf = host_udf.asNondeterministic()
+
+
 def canonicalize(col: Column) -> Column:
     return canonicalize_udf(col)
 
