@@ -977,8 +977,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src0.example", [], 0.5)], ROBOTS_SCHEMA
     )
     cfg = config.CrawlConfig(rounds=1, round_seconds=120.0, n_buckets=16, salt=4)
+    from crawlspark import sched
+
     result = crawl.crawl(spark, seeds, pages, robots, cfg=cfg)
-    log = result["fetch_log"]
+    log = sched.log_with_seq(result["fetch_log"])
     txt = result["extracted"]
     return log.join(txt, "url", "left_outer").select(
         "round", "seq", "url", "text"

@@ -132,7 +132,13 @@ def run_round(
     # materialize once: scheduled feeds fetch, fetch_log, seen', frontier'
     scheduled = scheduled.localCheckpoint(eager=True)
 
-    fetch_log = sched.with_seq(scheduled, round_no).select("round", "seq", "url")
+    # The replay-exact fetch order IS the sort key (sched_ts, host, url);
+    # materializing a dense global seq costs 3 extra jobs/round, so it is
+    # derived on demand (sched.with_seq / sched.log_with_seq) by validation
+    # paths instead of inside the hot loop.
+    fetch_log = scheduled.select(
+        F.lit(round_no).cast("int").alias("round"), "sched_ts", "host", "url"
+    )
 
     fetched = fetch.lookup_latest(
         scheduled.select("url", "host", "depth", "crawl_delay", "sched_ts"),
@@ -234,7 +240,9 @@ def crawl(
             )
             sidecar = state.bloom_path(snapshot_root, run_id, r)
 
-    empty_log = spark.createDataFrame([], "round int, seq int, url string")
+    empty_log = spark.createDataFrame(
+        [], "round int, sched_ts double, host string, url string"
+    )
     empty_text = spark.createDataFrame([], "url string, text string")
     fetch_log = empty_log
     for df in logs:

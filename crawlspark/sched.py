@@ -194,6 +194,15 @@ def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
     return ranged.mapInArrow(_add_seq, schema).localCheckpoint(eager=True)
 
 
+def log_with_seq(fetch_log: DataFrame) -> DataFrame:
+    """Dense (round, seq, url) from a (round, sched_ts, host, url) log —
+    the validation-time view of the fetch order (small data; plain window)."""
+    w = Window.partitionBy("round").orderBy("sched_ts", "host", "url")
+    return fetch_log.select(
+        "round", F.row_number().over(w).cast("int").alias("seq"), "url"
+    )
+
+
 def tiers(hosts: DataFrame, n: int = 4) -> DataFrame:
     """F5: host-tier bucketing for scheduling fairness (ntile by backlog)."""
     w = Window.orderBy(F.desc("pending"), "host")

@@ -101,6 +101,18 @@ SCHEDULED_SCHEMA = StructType(
     ]
 )
 
+# the persisted fetch log; the total order within a round is
+# (sched_ts, host, url), from which sched.log_with_seq derives dense seqs
+FETCH_LOG_SCHEMA = StructType(
+    [
+        StructField("round", IntegerType(), False),
+        StructField("sched_ts", DoubleType(), False),
+        StructField("host", StringType(), False),
+        StructField("url", StringType(), False),
+    ]
+)
+
+# validation-time view (sched.log_with_seq output)
 FETCH_ORDER_SCHEMA = StructType(
     [
         StructField("round", IntegerType(), False),

@@ -63,9 +63,10 @@ def _engine_run(spark, fixtures, snapshot_root=None, run_id=None, resume=False):
 
 
 def _fetch_tuples(result) -> list[tuple[int, int, str]]:
-    return sorted(
-        (r["round"], r["seq"], r["url"]) for r in result["fetch_log"].collect()
-    )
+    from crawlspark import sched
+
+    log = sched.log_with_seq(result["fetch_log"])
+    return sorted((r["round"], r["seq"], r["url"]) for r in log.collect())
 
 
 def test_replay_matches_oracle(spark, fixtures):
