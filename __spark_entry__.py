@@ -389,6 +389,92 @@ def agg_collect(spark, sf):
     )
 
 
+@_q(
+    "agg_cube",
+    """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n
+       FROM events GROUP BY CUBE (event_type, user_id % 10)""",
+)
+def agg_cube(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .withColumn("user_mod", F.col("user_id") % 10)
+        .cube("event_type", "user_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "agg_grouping_sets",
+    """SELECT lang, source, count(*) AS n FROM documents
+       GROUP BY GROUPING SETS ((lang), (source))""",
+)
+def agg_grouping_sets(spark, sf):
+    d = _t(spark, sf, "documents").createOrReplaceTempView("__docs_gs")
+    return spark.sql(
+        """SELECT lang, source, count(*) AS n FROM __docs_gs
+           GROUP BY GROUPING SETS ((lang), (source))"""
+    )
+
+
+@_q(
+    "udaf_weighted",
+    """SELECT user_id,
+              round(sum(value * (json_extract_string(props, '$.k')::DOUBLE))
+                    / sum(json_extract_string(props, '$.k')::DOUBLE), 4) AS wmean
+       FROM events GROUP BY user_id""",
+)
+def udaf_weighted(spark, sf):
+    """J5: custom grouped-agg pandas UDAF (weight from the JSON props)."""
+    from crawlspark import textops
+
+    wmean = textops.weighted_mean_udaf()
+    e = _t(spark, sf, "events").withColumn(
+        "w", F.get_json_object("props", "$.k").cast("double")
+    )
+    return e.groupBy("user_id").agg(
+        F.round(wmean(F.col("value"), F.col("w")), 4).alias("wmean")
+    )
+
+
+@_q(
+    "udtf_words",
+    f"""SELECT doc_id, word, count(*)::INT AS n
+        FROM (SELECT doc_id, unnest({_WORDS}) AS word
+              FROM documents WHERE doc_id < 20)
+        GROUP BY doc_id, word""",
+)
+def udtf_words(spark, sf):
+    """J6: Python UDTF — word histogram rows per document (doc_id < 20)."""
+    from crawlspark import textops
+
+    WordsUDTF = textops.make_words_udtf()
+    spark.udtf.register("words_udtf", WordsUDTF)
+    _t(spark, sf, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
+        "__docs_udtf"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, w.word, w.n
+           FROM __docs_udtf d, LATERAL words_udtf(d.text) w"""
+    )
+
+
+@_q(
+    "win_rank",
+    """SELECT event_id, user_id,
+              rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk,
+              dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS drnk
+       FROM events""",
+)
+def win_rank(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
 @_q("metrics_counts", "SELECT event_type, count(*) AS n FROM events GROUP BY event_type")
 def metrics_counts(spark, sf):
     return _t(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -366,6 +366,46 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# ------------------------------------------------------- custom UDAF / UDTF
+
+def weighted_mean_udaf():
+    """J5: grouped-agg pandas UDF (Series, Series → scalar) — a custom UDAF
+    computed Arrow-side per group (e.g. priority-weighted mean fetch value)."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _wmean(v: pd.Series, w: pd.Series) -> float:
+        den = float(w.sum())
+        if den == 0.0:
+            return float("nan")
+        return float((v * w).sum() / den)
+
+    return _wmean
+
+
+def make_words_udtf():
+    """J6: Python UDTF (Spark 4) — one row per distinct word of a text.
+
+    The lateral-join shape (1 input row → N output rows) the reference gets
+    from its XML reference-list parsing; prefer links_udf+explode in the hot
+    path (simpler, faster), this exists for UDTF surface coverage.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class WordsUDTF:
+        def eval(self, text: str):  # noqa: D401
+            if not text:
+                return
+            counts: dict[str, int] = {}
+            for w in text.split():
+                counts[w] = counts.get(w, 0) + 1
+            for w in sorted(counts):
+                yield w, counts[w]
+
+    return WordsUDTF
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint over normalized text."""
     return df.select(

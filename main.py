@@ -1,0 +1,87 @@
+"""spark-submit entrypoint (BASELINE.json: "ships as spark-submit --py-files").
+
+Package and run:
+
+    cd /root/repo && zip -r crawlspark.zip crawlspark
+    spark-submit --py-files crawlspark.zip main.py \
+        --pages /data/pages --seeds /data/seeds.txt --robots /data/robots.json \
+        --rounds 3 --snapshot-root /data/snapshots --run-id run1 \
+        --out /data/extracted
+
+``--resume`` continues a killed run from its last committed snapshot.
+On a cluster, pass ``--pages-format iceberg`` and an Iceberg table name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="crawlspark: PySpark crawl frontier + scheduler")
+    p.add_argument("--pages", required=True, help="pages table path (parquet dir or iceberg table)")
+    p.add_argument("--pages-format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--seeds", required=True, help="seed url list (text file, one url per line)")
+    p.add_argument("--robots", default=None, help="robots rules (json file: [{host, rules, crawl_delay}])")
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--round-seconds", type=float, default=60.0)
+    p.add_argument("--max-depth", type=int, default=10)
+    p.add_argument("--n-buckets", type=int, default=None)
+    p.add_argument("--salt", type=int, default=None)
+    p.add_argument("--snapshot-root", default=None)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--out", default=None, help="extracted-text sink path")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str]) -> int:
+    args = parse_args(argv)
+
+    from crawlspark import config, crawl, io
+    from crawlspark.schemas import ROBOTS_SCHEMA
+    from crawlspark.session import get_spark
+
+    spark = get_spark("crawlspark", master=None)
+    pages = io.read_pages(spark, args.pages, fmt=args.pages_format)
+    seeds = io.read_seeds(spark, args.seeds)
+    if args.robots:
+        with open(args.robots) as f:
+            robots_rows = json.load(f)
+        robots = spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
+    else:
+        robots = spark.createDataFrame([], ROBOTS_SCHEMA)
+
+    kw = {}
+    if args.n_buckets:
+        kw["n_buckets"] = args.n_buckets
+    if args.salt:
+        kw["salt"] = args.salt
+    cfg = config.CrawlConfig(
+        rounds=args.rounds,
+        round_seconds=args.round_seconds,
+        max_depth=args.max_depth,
+        **kw,
+    )
+    result = crawl.crawl(
+        spark,
+        seeds,
+        pages,
+        robots,
+        cfg=cfg,
+        snapshot_root=args.snapshot_root,
+        run_id=args.run_id,
+        resume=args.resume,
+    )
+    n = result["fetch_log"].count()
+    print(f"crawl {result['run_id']}: {result['rounds_run']} rounds, {n} urls fetched")
+    if args.out:
+        io.write_text(result["extracted"], args.out)
+        print(f"extracted text written to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

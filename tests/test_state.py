@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import config, state, urlnorm
+
+
+@pytest.fixture()
+def small_state(spark):
+    frontier = spark.createDataFrame(
+        [(f"https://h{i%3}.example/p/{i}", i, f"h{i%3}.example", 0.0, 0, 0) for i in range(50)],
+        "url string, url_hash long, host string, priority double, depth int, discovered_round int",
+    ).withColumn("bucket", urlnorm.bucket(F.col("url_hash"), 8))
+    seen = spark.createDataFrame(
+        [(i * 7, i % 8) for i in range(30)], "url_hash long, bucket int"
+    )
+    return frontier, seen
+
+
+def test_commit_load_roundtrip(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    d = state.commit_snapshot(root, "run1", 0, frontier, seen)
+    assert os.path.exists(os.path.join(d, state.MANIFEST))
+    f2, s2, rnd, mf = state.load_snapshot(spark, root, "run1")
+    assert rnd == 0
+    assert sorted(r["url"] for r in f2.collect()) == sorted(r["url"] for r in frontier.collect())
+    assert s2.count() == seen.count()
+    assert mf["bucket_fn_version"] == config.BUCKET_FN_VERSION
+    assert "lineage" in mf and "frontier" in mf["lineage"]
+    assert sum(p["rows"] for p in mf["lineage"]["frontier"]) == 50
+
+
+def test_uncommitted_round_ignored(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    state.commit_snapshot(root, "run1", 0, frontier, seen)
+    # torn write: round dir exists but no manifest
+    torn = os.path.join(root, "run1", "round=1")
+    os.makedirs(torn)
+    assert state.committed_rounds(root, "run1") == [0]
+    _, _, rnd, _ = state.load_snapshot(spark, root, "run1")
+    assert rnd == 0
+
+
+def test_bucket_version_mismatch_rejected(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    d = state.commit_snapshot(root, "run1", 0, frontier, seen)
+    mf_path = os.path.join(d, state.MANIFEST)
+    with open(mf_path) as f:
+        mf = json.load(f)
+    mf["bucket_fn_version"] = "other-v9"
+    with open(mf_path, "w") as f:
+        json.dump(mf, f)
+    with pytest.raises(ValueError, match="bucket fn"):
+        state.load_snapshot(spark, root, "run1")
+
+
+def test_latest_round_selected(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    for r in range(3):
+        state.commit_snapshot(root, "run1", r, frontier, seen)
+    _, _, rnd, mf = state.load_snapshot(spark, root, "run1")
+    assert rnd == 2
+    assert mf["parent_round"] == 1

