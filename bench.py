@@ -32,10 +32,12 @@ os.environ["PYTHONPATH"] = (
     f"{_ROOT}:{os.path.join(_ROOT, 'tests')}:" + os.environ.get("PYTHONPATH", "")
 )
 
-# ~1.8M page rows incl. captures (FIXTURES.md §2: bench ~2M), so per-round
-# real work dwarfs fixed job overhead — required for a fair scaling test
-BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "1000000"))
-BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "100000"))
+# ~3.6M page rows incl. captures (FIXTURES.md §2 prescribes bench ~2M pages),
+# so per-round real work dwarfs fixed job overhead — required for a fair
+# scaling test
+BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "2000000"))
+BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
+BENCH_ROUNDS = int(os.environ.get("CRAWLSPARK_BENCH_ROUNDS", "2"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "data", f"pages_{BENCH_PAGES}"
 )
@@ -82,28 +84,42 @@ def warm_workers(spark) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def bench_crawl(spark, pages_path: str, rounds: int = 2) -> dict:
-    """The headline: full crawl pipeline, urls scheduled+extracted/sec."""
+def bench_crawl(spark, pages_path: str, rounds: int = BENCH_ROUNDS, warmup: bool = True) -> dict:
+    """The headline: full crawl pipeline, urls scheduled+extracted/sec.
+
+    ``warmup`` first runs a 200-seed single-round crawl over the same corpus
+    so whole-stage codegen / JIT compilation of every stage shape happens
+    outside the timed window — the steady state a long-lived cluster is in.
+    """
     import gen_pages as gp
 
     from crawlspark import config, crawl
     from crawlspark.schemas import PAGES_SCHEMA
 
     pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+    robots = gp.robots_df(spark)
+
+    def _cfg(r):
+        return config.CrawlConfig(
+            rounds=r,
+            round_seconds=200_000.0,  # politeness budget wide-open
+            max_budget_per_host=1_000_000,
+            n_buckets=64,
+            salt=8,
+            max_depth=10,
+        )
+
+    if warmup:
+        wseeds = spark.createDataFrame(
+            [(s,) for s in gp.gen_seeds(BENCH_PAGES, 200)], "url string"
+        )
+        crawl.crawl(spark, wseeds, pages, robots, cfg=_cfg(1))["fetch_log"].count()
+
     seeds = spark.createDataFrame(
         [(s,) for s in gp.gen_seeds(BENCH_PAGES, BENCH_SEEDS)], "url string"
     )
-    robots = gp.robots_df(spark)
-    cfg = config.CrawlConfig(
-        rounds=rounds,
-        round_seconds=200_000.0,  # politeness budget wide-open: throughput test
-        max_budget_per_host=1_000_000,
-        n_buckets=64,
-        salt=8,
-        max_depth=10,
-    )
     t0 = time.monotonic()
-    result = crawl.crawl(spark, seeds, pages, robots, cfg=cfg)
+    result = crawl.crawl(spark, seeds, pages, robots, cfg=_cfg(rounds))
     n_fetched = result["fetch_log"].count()
     n_extracted = result["extracted"].filter("text IS NOT NULL").count()
     wall = time.monotonic() - t0
@@ -199,7 +215,7 @@ def run_scaling(reps: int = 3) -> None:
             spark = _spark(f"local[{cpus}]", cpus)
             ensure_pages(spark)
             warm_workers(spark)
-            stats = bench_crawl(spark, PAGES_CACHE)
+            stats = bench_crawl(spark, PAGES_CACHE, rounds=3)
             spark.stop()
             print(f"local[{cpus}] rep{rep}: {stats}", file=sys.stderr)
             if best is None or stats["wall_sec"] < best["wall_sec"]:
