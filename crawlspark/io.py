@@ -35,6 +35,31 @@ def read_seeds(spark: SparkSession, source: str | list[str]) -> DataFrame:
     )
 
 
+def seeds_from_term(
+    docs: DataFrame,
+    term: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    limit: int | None = None,
+) -> DataFrame:
+    """A2b: seed derivation by search term — the reference's esearch analog
+    (term → result list → fetch ids): scan a (url, text) corpus for documents
+    whose token stream contains ``term``, return their URLs as the seed list,
+    deterministically ordered and optionally capped (the retmax analog).
+
+    Tokenization matches textops.words_col (split on \\s+) so the match is a
+    whole-token hit, not a substring; the filter is a single built-in
+    expression, fully pushed into the corpus scan.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    out = docs.filter(F.array_contains(toks, term.lower())).select(
+        F.col(url_col).alias("url")
+    )
+    if limit is not None:
+        out = out.orderBy("url").limit(limit)
+    return out
+
+
 def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """A6: extracted-text corpus sink (url, text)."""
     out = df.select("url", "text")

@@ -144,7 +144,7 @@ def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
     """
     import pyarrow as pa
     from pyspark import TaskContext
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     cols = ["sched_ts", "host", "url"]
     sc = scheduled.sparkSession.sparkContext
@@ -169,7 +169,8 @@ def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
     schema = StructType(
         [
             StructField("round", IntegerType(), False),
-            StructField("seq", IntegerType(), False),
+            # int64: a round at 10^10-URL scale overflows int32 (ADVICE r1)
+            StructField("seq", LongType(), False),
         ]
         + list(scheduled.schema.fields)
     )
@@ -180,7 +181,7 @@ def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
         for batch in batches:
             n = batch.num_rows
             rnd = pa.array([round_no] * n, type=pa.int32())
-            seq = pa.array(range(pos + 1, pos + n + 1), type=pa.int32())
+            seq = pa.array(range(pos + 1, pos + n + 1), type=pa.int64())
             pos += n
             yield pa.RecordBatch.from_arrays(
                 [rnd, seq] + list(batch.columns),
@@ -199,7 +200,7 @@ def log_with_seq(fetch_log: DataFrame) -> DataFrame:
     the validation-time view of the fetch order (small data; plain window)."""
     w = Window.partitionBy("round").orderBy("sched_ts", "host", "url")
     return fetch_log.select(
-        "round", F.row_number().over(w).cast("int").alias("seq"), "url"
+        "round", F.row_number().over(w).cast("long").alias("seq"), "url"
     )
 
 

@@ -112,11 +112,12 @@ FETCH_LOG_SCHEMA = StructType(
     ]
 )
 
-# validation-time view (sched.log_with_seq output)
+# validation-time view (sched.log_with_seq output); seq is int64 — a round
+# at 10^10-URL scale overflows int32 (ADVICE r1)
 FETCH_ORDER_SCHEMA = StructType(
     [
         StructField("round", IntegerType(), False),
-        StructField("seq", IntegerType(), False),
+        StructField("seq", LongType(), False),
         StructField("url", StringType(), False),
     ]
 )

@@ -23,31 +23,41 @@ TABLES = [
 
 
 def _norm_cell(v):
+    """TYPED normalization — at least as strict as the driver's value hash.
+
+    Round 1 lesson (VERDICT item 1): this used to round floats to 9 digits
+    and silently coerce numpy ints, which let a BIGINT-vs-DOUBLE floor/ceil
+    mismatch (fn_math) pass locally while failing the driver.  Values are
+    now tagged with their type class: 18 (int) != 18.0 (float), exact float
+    compare (queries round on BOTH sides in SQL/Spark, so bit-identical
+    values are the contract).
+    """
     import datetime
 
     import numpy as np
 
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, (np.floating,)):
-        return _norm_cell(float(v))
-    if isinstance(v, (np.integer,)):
-        return int(v)
+    if isinstance(v, (bool, np.bool_)):  # before int: bool subclasses int
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        return ("f", f)
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("d", v.isoformat())
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return bool(v)
-    return v
+        return ("y", v.hex())
+    if isinstance(v, str):
+        return ("s", v)
+    return ("o", str(v))
 
 
 def _norm_frame(pdf):
