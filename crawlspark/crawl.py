@@ -196,7 +196,9 @@ def crawl(
     sidecar: str | None = None
 
     if resume and snapshot_root is not None:
-        frontier, seen, last, _mf = state.load_snapshot(spark, snapshot_root, run_id)
+        frontier, seen, last, _mf = state.load_snapshot(
+            spark, snapshot_root, run_id, expected_n_buckets=cfg.n_buckets
+        )
         start_round = last + 1
         sidecar = state.bloom_path(snapshot_root, run_id, last)
     else:
@@ -237,6 +239,7 @@ def crawl(
                 bloom_df=bloom_df,
                 fetch_log=out["fetch_log"],
                 metrics=all_metrics,
+                n_buckets=cfg.n_buckets,
             )
             sidecar = state.bloom_path(snapshot_root, run_id, r)
 

@@ -54,6 +54,7 @@ def commit_snapshot(
     fetch_log: DataFrame | None = None,
     metrics: DataFrame | None = None,
     extra: dict | None = None,
+    n_buckets: int | None = None,
 ) -> str:
     """Write all state tables, then the manifest last (the commit point)."""
     d = _round_dir(root, run_id, round_no)
@@ -83,7 +84,10 @@ def commit_snapshot(
         "parent_round": round_no - 1 if round_no > 0 else None,
         "bucket_fn_version": config.BUCKET_FN_VERSION,
         "bloom_version": config.BLOOM_VERSION,
-        "n_buckets": config.N_BUCKETS,
+        # the RUN's actual modulus, not the module default: a resume under a
+        # different n_buckets silently mismatches the (bucket, url_hash)
+        # anti-join and re-fetches seen URLs (round-1 ADVICE)
+        "n_buckets": config.N_BUCKETS if n_buckets is None else int(n_buckets),
         "lineage": lineage,
         **(extra or {}),
     }
@@ -108,10 +112,16 @@ def committed_rounds(root: str, run_id: str) -> list[int]:
 
 
 def load_snapshot(
-    spark: SparkSession, root: str, run_id: str, round_no: int | None = None
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    round_no: int | None = None,
+    expected_n_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int, dict]:
     """Load (frontier, seen, round, manifest) from the latest (or given)
-    committed round; refuses a snapshot written under a different bucket fn."""
+    committed round; refuses a snapshot written under a different bucket fn
+    or (when ``expected_n_buckets`` is given) a different bucket modulus —
+    both would silently break the (bucket, url_hash) seen anti-join."""
     rounds = committed_rounds(root, run_id)
     if not rounds:
         raise FileNotFoundError(f"no committed snapshot for run {run_id} under {root}")
@@ -123,6 +133,17 @@ def load_snapshot(
         raise ValueError(
             f"snapshot bucket fn {manifest['bucket_fn_version']!r} != "
             f"engine {config.BUCKET_FN_VERSION!r}; rebuild state"
+        )
+    if (
+        expected_n_buckets is not None
+        and manifest.get("n_buckets") is not None
+        and int(manifest["n_buckets"]) != int(expected_n_buckets)
+    ):
+        raise ValueError(
+            f"snapshot n_buckets {manifest['n_buckets']} != resuming config "
+            f"{expected_n_buckets}; newly discovered links would bucket under "
+            "a different modulus and seen URLs would be re-fetched — "
+            "resume with the original n_buckets or rebuild state"
         )
     frontier = spark.read.parquet(os.path.join(d, "frontier"))
     seen = spark.read.parquet(os.path.join(d, "seen"))

@@ -61,6 +61,19 @@ def test_bucket_version_mismatch_rejected(spark, small_state, tmp_path):
         state.load_snapshot(spark, root, "run1")
 
 
+def test_n_buckets_mismatch_rejected(spark, small_state, tmp_path):
+    """Resuming under a different bucket modulus must fail loudly: new links
+    would bucket differently and the seen anti-join would silently re-fetch
+    (round-1 ADVICE)."""
+    frontier, seen = small_state
+    root = str(tmp_path)
+    state.commit_snapshot(root, "run1", 0, frontier, seen, n_buckets=8)
+    _, _, _, mf = state.load_snapshot(spark, root, "run1", expected_n_buckets=8)
+    assert mf["n_buckets"] == 8
+    with pytest.raises(ValueError, match="n_buckets"):
+        state.load_snapshot(spark, root, "run1", expected_n_buckets=16)
+
+
 def test_latest_round_selected(spark, small_state, tmp_path):
     frontier, seen = small_state
     root = str(tmp_path)

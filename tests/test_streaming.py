@@ -56,13 +56,91 @@ def test_session_bursts_stream(spark, page_dir, tmp_path):
 
 
 def test_incremental_seen_update(spark, page_dir, tmp_path):
-    seen_path = str(tmp_path / "seen")
-    stream = streaming.read_page_stream(spark, page_dir)
+    seen_root = str(tmp_path / "seen")
+    # 1 file per trigger => one delta per file => compaction exercises
+    stream = streaming.read_page_stream(spark, page_dir, max_files_per_trigger=1)
     q = streaming.incremental_seen_update(
-        stream, seen_path, str(tmp_path / "ckpt3"), n_buckets=8
+        stream, seen_root, str(tmp_path / "ckpt3"), n_buckets=8, compact_every=2
     ).start()
     q.awaitTermination(120)
-    seen = spark.read.parquet(seen_path)
-    n_urls = spark.read.parquet(page_dir).select("url").distinct().count()
-    assert seen.count() == n_urls
+    seen = streaming.seen_view(spark, seen_root)
+    n_urls = (
+        spark.read.parquet(page_dir)
+        .select("url")
+        .distinct()
+        .count()
+    )
+    # deltas may repeat hashes across batches; membership set must be exact
+    assert seen.select("url_hash").distinct().count() == n_urls
     assert seen.select("bucket").distinct().count() <= 8
+    # compact_every=2 over >=2 batches must have produced a committed base
+    ptr = streaming._read_pointer(seen_root)
+    assert ptr["base_version"] is not None
+
+
+def test_seen_compaction_crash_safe(spark, page_dir, tmp_path):
+    """A compacted view equals the pre-compaction view, and a torn base
+    write (no _SUCCESS / pointer not flipped) never changes the view."""
+    import os
+    import shutil
+
+    seen_root = str(tmp_path / "seen2")
+    stream = streaming.read_page_stream(spark, page_dir)
+    q = streaming.incremental_seen_update(
+        stream, seen_root, str(tmp_path / "ckpt4"), n_buckets=8, compact_every=10_000
+    ).start()
+    q.awaitTermination(120)
+    before = {r["url_hash"] for r in streaming.seen_view(spark, seen_root).collect()}
+    assert before
+
+    # simulate a compaction that crashed mid-base-write: partial dir, old pointer
+    ptr = streaming._read_pointer(seen_root)
+    torn = os.path.join(seen_root, "base", f"v={(ptr['base_version'] or 0) + 1}")
+    os.makedirs(torn, exist_ok=True)
+    open(os.path.join(torn, "part-junk.parquet"), "wb").write(b"not parquet")
+    after_torn = {r["url_hash"] for r in streaming.seen_view(spark, seen_root).collect()}
+    assert after_torn == before
+    shutil.rmtree(torn)
+
+    # real compaction preserves the membership set exactly and dedups
+    streaming.compact_seen(spark, seen_root, n_buckets=8)
+    after = streaming.seen_view(spark, seen_root)
+    assert {r["url_hash"] for r in after.collect()} == before
+    assert after.count() == after.select("url_hash").distinct().count()
+
+
+def test_stateful_seen_stream(spark, page_dir, tmp_path):
+    """transformWithStateInPandas dedup: each url_hash emitted exactly once
+    even when the same pages flow through twice."""
+    import pytest as _pytest
+
+    double_dir = str(tmp_path / "pages_double")
+    pages = spark.read.parquet(page_dir)
+    pages.write.mode("overwrite").parquet(double_dir)
+    pages.write.mode("append").parquet(double_dir)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = streaming.read_page_stream(spark, double_dir)
+        out = streaming.stateful_seen_stream(stream, n_buckets=8)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_seen")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt5"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from tws_seen").collect()
+    except Exception as e:  # pragma: no cover - env-dependent state store
+        _pytest.skip(f"transformWithStateInPandas unavailable: {e}")
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    n_urls = pages.select("url").distinct().count()
+    hashes = [r["url_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == n_urls
+    assert all(0 <= r["bucket"] < 8 for r in rows)
