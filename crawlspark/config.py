@@ -48,3 +48,11 @@ class CrawlConfig:
     max_budget_per_host: int = MAX_BUDGET_PER_HOST
     max_depth: int = 10
     rounds: int = 3
+    # intra-round materialization primitive:
+    #  * "checkpoint" (default, local mode): localCheckpoint(eager) — fastest
+    #    on one JVM, but executor-stored: an executor loss mid-round on a
+    #    real cluster kills the round (VERDICT r1 item 5).
+    #  * "disk": reliable checkpoint to CRAWLSPARK_CKPT_DIR (HDFS/S3 on a
+    #    cluster) — survives executor loss AND truncates lineage; the
+    #    cluster-grade setting.
+    persist_mode: str = os.environ.get("CRAWLSPARK_PERSIST", "checkpoint")

@@ -11,15 +11,18 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .schemas import METRICS_SCHEMA
-
 
 def stage_metrics(
     df: DataFrame, run_id: str, round_no: int, stage: str, rows_in: int = -1, wall_ms: int = -1
 ) -> DataFrame:
-    """One metrics row per physical partition of ``df`` (rows_out = count)."""
-    spark = df.sparkSession
-    per_part = (
+    """One metrics row per physical partition of ``df`` (rows_out = count).
+
+    LAZY — no driver collect (round-1 VERDICT: the eager collect here was
+    one of the serial barrier jobs holding crawl scaling at 0.778).  The
+    snapshot write materializes it; ``df`` is checkpointed upstream so the
+    deferred evaluation reads cached partitions, not a recompute.
+    """
+    return (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count(F.lit(1)).alias("rows_out"))
         .select(
@@ -32,7 +35,6 @@ def stage_metrics(
             F.lit(wall_ms).cast("long").alias("wall_ms"),
         )
     )
-    return spark.createDataFrame(per_part.collect(), METRICS_SCHEMA)
 
 
 class StageTimer:

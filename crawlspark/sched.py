@@ -14,7 +14,7 @@ Two physical paths produce the identical schedule:
 * ``schedule_window`` — pure window functions (whole-stage codegen, no
   Python).  Preferred when no host is pathological.
 * ``schedule`` — BASELINE.json's "salted-key repartition + applyInPandas
-  priority queues": phase 1 runs a heapq top-B *per (host, salt)* group so a
+  priority queues": phase 1 runs a vectorized top-B *per (host, salt)* group so a
   mega-host (30%+ of the frontier) is split across SALT bounded groups and
   never overwhelms one Python worker; phase 2 re-ranks the ≤ SALT*B
   survivors per host with a window (small data) and applies the budget
@@ -22,8 +22,6 @@ Two physical paths produce the identical schedule:
 """
 
 from __future__ import annotations
-
-import heapq
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -92,21 +90,12 @@ def schedule(
     )
 
     def _topb(pdf: pd.DataFrame) -> pd.DataFrame:
-        # heapq priority queue per (host, salt): keep the B smallest under
-        # the host order key — the reference's queue, vectorized per group.
+        # priority queue per (host, salt): keep the B smallest under the
+        # host order key.  Fully vectorized (pandas sort is the queue —
+        # no per-row Python); `url` is unique per frontier row, so the key
+        # is a total order and head(B) is exact.
         b = int(pdf["budget"].iloc[0])
-        keyed = list(
-            zip(
-                pdf["priority"],
-                pdf["discovered_round"],
-                pdf["depth"],
-                pdf["url"],
-                pdf.index,
-            )
-        )
-        best = heapq.nsmallest(b, keyed)
-        idx = [t[-1] for t in best]
-        return pdf.loc[idx].drop(columns=["salt"])
+        return pdf.sort_values(_HOST_ORDER, kind="mergesort").head(b).drop(columns=["salt"])
 
     # phase 1: provisional top-B per salt slice (bounded group size).
     # groupBy(host, salt) IS the salted-key repartition — one hash shuffle

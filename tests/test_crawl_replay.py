@@ -101,6 +101,18 @@ def test_replay_matches_oracle(spark, fixtures):
         ), f"text mismatch for {u}"
 
 
+def test_disk_persist_mode_identical(spark, fixtures):
+    """persist(DISK_ONLY) materialization (the cluster-grade mode) must
+    replay the exact same fetch order as localCheckpoint mode."""
+    import dataclasses
+
+    oracle = fixtures[-1]
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    cfg_disk = dataclasses.replace(CFG, persist_mode="disk")
+    result = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg_disk)
+    assert _fetch_tuples(result) == sorted(oracle.fetch_log)
+
+
 def test_fetch_misses_are_marked_seen(spark, fixtures):
     """Dangling links get scheduled once, miss the pages table, and never
     reappear (the reference's 404 branch)."""
