@@ -190,6 +190,52 @@ def run_default() -> None:
     spark.stop()
 
 
+def run_floor(reps: int = 3) -> None:
+    """Serial-floor profile: a crawl whose per-round WORK is negligible
+    (50 seeds over the tiny page corpus) isolates the fixed driver cost per
+    round — job scheduling, planning, materialization barriers.  The
+    round-2 barrier work (lazy metrics, footer lineage, threaded
+    materialization, fused emptiness check) targets floor < 5 s/round."""
+    import gen_pages as gp
+
+    from crawlspark import config, crawl
+    from crawlspark.schemas import PAGES_SCHEMA
+
+    rounds = 3
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    best = None
+    for _rep in range(reps):
+        spark = _spark(f"local[{cpus}]", cpus)
+        pages = spark.createDataFrame(gp.gen_pages_local(2000), PAGES_SCHEMA)
+        pages_path = os.path.join("BENCH", "data", "pages_floor")
+        pages.write.mode("overwrite").parquet(pages_path)
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+        robots = gp.robots_df(spark)
+        seeds = spark.createDataFrame(
+            [(s,) for s in gp.gen_seeds(2000, 50)], "url string"
+        )
+        cfg = config.CrawlConfig(
+            rounds=rounds, round_seconds=200_000.0, max_budget_per_host=1_000_000,
+            n_buckets=16, salt=4, max_depth=10,
+        )
+        warm_workers(spark)
+        crawl.crawl(spark, seeds, pages, robots, cfg=cfg)["fetch_log"].count()  # warm
+        t0 = time.monotonic()
+        result = crawl.crawl(spark, seeds, pages, robots, cfg=cfg)
+        result["fetch_log"].count()
+        wall = time.monotonic() - t0
+        spark.stop()
+        per_round = wall / max(result["rounds_run"], 1)
+        print(f"floor rep: wall={wall:.2f}s rounds={result['rounds_run']} "
+              f"per_round={per_round:.2f}s", file=sys.stderr)
+        if best is None or per_round < best["sec_per_round"]:
+            best = {"wall": round(wall, 2), "rounds": result["rounds_run"],
+                    "sec_per_round": round(per_round, 2)}
+    print(json.dumps({"metric": "serial floor per crawl round (negligible work)",
+                      "unit": "sec/round", "cpus": cpus, "reps": reps,
+                      "aggregation": "min", **best}))
+
+
 def run_scaling(reps: int = 3) -> None:
     """North-rule scaling proxy: same job, same input, local[8] vs local[32].
 
@@ -241,5 +287,7 @@ def run_scaling(reps: int = 3) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--floor" in sys.argv:
+        run_floor()
     else:
         run_default()
