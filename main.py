@@ -34,6 +34,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--out", default=None, help="extracted-text sink path")
+    p.add_argument(
+        "--persist-mode",
+        default=None,
+        choices=["checkpoint", "disk"],
+        help="intra-round materialization: localCheckpoint (local mode) or "
+        "reliable checkpoint to CRAWLSPARK_CKPT_DIR (cluster-grade)",
+    )
     return p.parse_args(argv)
 
 
@@ -59,6 +66,8 @@ def main(argv: list[str]) -> int:
         kw["n_buckets"] = args.n_buckets
     if args.salt:
         kw["salt"] = args.salt
+    if args.persist_mode:
+        kw["persist_mode"] = args.persist_mode
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,
