@@ -139,7 +139,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     names = [
         "agg_basic",
         "join_equi",
-        "win_cumsum",
+        "win_lag_cumsum",
         "ngram_jaccard",
         "dedup_minhash",
         "ann_brute",
