@@ -172,9 +172,14 @@ def run_round(
         pages,
         pages_latest_keys,
     )
-    parsed = fetched.withColumn("text", extract.text_udf(F.col("html"))).withColumn(
-        "links", extract.links_udf(F.col("html"), F.col("url"))
-    ).drop("html")
+    # fused extraction: html crosses Arrow once, parsed once (text + links)
+    parsed = (
+        fetched.withColumn("__tl", extract.text_links_udf(F.col("html"), F.col("url")))
+        .drop("html")
+        .withColumn("text", F.col("__tl.text"))
+        .withColumn("links", F.col("__tl.links"))
+        .drop("__tl")
+    )
 
     tried = scheduled.select("url_hash").unionByName(disallowed.select("url_hash"))
     new_seen = dedup.absorb(seen, tried, cfg.n_buckets)

@@ -26,7 +26,7 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _SKIP_TAGS = {"script", "style"}
 _XML_HINT = re.compile(rb"^\s*<\?xml|<PubmedArticle|<PubmedArticleSet", re.I)
@@ -141,6 +141,29 @@ def extract_links_one(html_bytes: bytes | None, base_url: str | None) -> list[st
     return list(p.links)
 
 
+def extract_both_one(
+    html_bytes: bytes | None, base_url: str | None
+) -> tuple[str | None, list[str]]:
+    """One decode + one parse → (text, links).  Field-identical to
+    (extract_text_one, extract_links_one) — property-tested — but the hot
+    loop pays the HTML parse once instead of twice."""
+    if html_bytes is None:
+        return None, []
+    s = decode_bytes(html_bytes)
+    if s is None:
+        return None, []
+    if _XML_HINT.search(html_bytes[:4096]):
+        return _extract_pubmed_xml(s), []
+    p = _TextAndLinks()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass  # malformed markup: keep whatever was collected
+    links = [urljoin(base_url, h) for h in p.links] if base_url else list(p.links)
+    return " ".join(p.tokens), links
+
+
 @pandas_udf(StringType())
 def text_udf(html: pd.Series) -> pd.Series:
     """J1: byte-identical text per url (BASELINE.json input_hint)."""
@@ -155,10 +178,39 @@ def links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     )
 
 
+_TEXT_LINKS_TYPE = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("links", ArrayType(StringType()), True),
+    ]
+)
+
+
+@pandas_udf(_TEXT_LINKS_TYPE)
+def text_links_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """J1+J2 fused: the fat ``html`` column crosses Arrow ONCE and is parsed
+    ONCE per page (text_udf + links_udf each re-decoded and re-parsed it).
+    Used by the crawl hot loop; the single-output UDFs remain the narrow
+    API."""
+    pairs = [extract_both_one(h, u) for h, u in zip(html, url)]
+    return pd.DataFrame(
+        {"text": [t for t, _ in pairs], "links": [ls for _, ls in pairs]},
+        index=html.index,
+    )
+
+
+# stop Catalyst from duplicating the expensive UDF into collapsed
+# projections when both struct fields are read (same rationale as
+# urlnorm.canonicalize_udf — pure function, flag only inhibits re-evaluation)
+text_links_udf = text_links_udf.asNondeterministic()
+
+
 __all__ = [
     "text_udf",
     "links_udf",
+    "text_links_udf",
     "extract_text_one",
     "extract_links_one",
+    "extract_both_one",
     "decode_bytes",
 ]

@@ -97,3 +97,39 @@ def test_udfs_match_python(spark):
         assert list(r["links"]) == [
             urljoin(gp.url_of(i), h) for h in gp.outlinks_of(i, n)
         ]
+
+
+def test_fused_udf_identical_to_separate(spark):
+    """text_links_udf (one decode+parse) must be field-identical to the
+    separate text_udf/links_udf on every golden fixture and generated page,
+    including XML, malformed, and null html."""
+    import gen_pages as gp
+    from pyspark.sql import functions as F
+
+    from crawlspark import extract
+
+    n = 40
+    rows = [(gp.url_of(i), gp.html_of(i, 0, n)) for i in range(n)]
+    rows.append(("https://x.example/null", None))
+    rows.append(("https://x.example/bad", b"<html><body><p>unclosed <a href='/r'>t"))
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "*.html"))) + sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "*.xml"))
+    ):
+        with open(path, "rb") as f:
+            rows.append((f"https://fix.example/{os.path.basename(path)}", f.read()))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = (
+        df.withColumn("__tl", extract.text_links_udf(F.col("html"), F.col("url")))
+        .select(
+            "url",
+            extract.text_udf(F.col("html")).alias("t_sep"),
+            extract.links_udf(F.col("html"), F.col("url")).alias("l_sep"),
+            F.col("__tl.text").alias("t_fused"),
+            F.col("__tl.links").alias("l_fused"),
+        )
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["t_fused"] == r["t_sep"], r["url"]
+        assert list(r["l_fused"] or []) == list(r["l_sep"] or []), r["url"]
