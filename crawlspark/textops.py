@@ -76,17 +76,20 @@ def shingles_col(text_col: Column, k: int = 3) -> Column:
 # -------------------------------------------------------------------- minhash
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, k: int = 3) -> DataFrame:
-    """(id, sig: array<long>) — sig[i] = min over shingles of xxhash64(i||s).
+    """(id, sig: array<long>) — sig[i] = min over shingles of h_i(shingle).
 
     Computed scan-side: explode shingles once, n_hashes parallel min-aggs
     (one hash-aggregate, partial combine on the map side — no wide shuffle
-    of raw text).
+    of raw text).  Each shingle STRING is hashed exactly once
+    (``xxhash64(sh)``); the per-function hashes re-hash only that 8-byte
+    value (``xxhash64(sh_hash, i)``) — round 1 concatenated ``"i:" || sh``
+    and string-hashed every shingle 32x, which dominated the stage.
     """
     exploded = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
-    )
+    ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shh"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = exploded.groupBy(id_col).agg(*aggs)
@@ -260,13 +263,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold via explode + equi-join.
 
-    The join key is the shingle itself — at scale, restrict with
-    ``block_col`` (e.g. same source/host) to bound the pair space.
+    The join key is the 64-bit shingle hash (one xxhash64 per shingle at
+    scan time) — joining 8-byte longs shuffles and compares far cheaper
+    than the shingle strings themselves; a hash collision would need two
+    distinct shingles in ONE block to collide in 64 bits (P ≈ n²/2⁶⁵ —
+    negligible, and deterministic for a fixed corpus).  At scale, restrict
+    with ``block_col`` (e.g. same source/host) to bound the pair space.
     """
     sh = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
-        F.explode(shingles_col(F.col(text_col), k)).alias("sh"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("sh_str"),
+    ).select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.xxhash64("sh_str").alias("sh"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
