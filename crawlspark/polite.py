@@ -12,8 +12,18 @@ over the rules array) — stays in whole-stage codegen, no Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import config
 
@@ -65,6 +75,137 @@ def budget_col(round_seconds: float, max_budget: int) -> Column:
             F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
         ),
     ).cast("int")
+
+
+# ------------------------------------------------------ robots.txt parsing
+
+def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
+    """Parse one raw robots.txt body into {rules, crawl_delay}.
+
+    Classic REP grammar (RFC 9309, simplified): ``field: value`` lines,
+    ``#`` comments, groups of one-or-more ``User-agent`` lines followed by
+    ``Allow``/``Disallow``/``Crawl-delay`` records.  Group selection: the
+    group whose agent token is the LONGEST substring of ``agent`` wins
+    (case-insensitive); ``*`` matches any agent with the lowest precedence;
+    no matching group → no rules.  An empty ``Disallow:`` value means
+    "allow everything" (contributes no rule).  Wildcard support is limited
+    to a trailing ``*`` (identical to the engine's prefix-match semantics
+    in :func:`allowed_col`); interior ``*``/``$`` patterns are dropped —
+    documented out of scope, matching the declarative rules-table contract.
+    """
+    agent_l = agent.lower()
+    groups: list[dict] = []  # {"agents": [..], "rules": [..], "delay": float|None}
+    cur: dict | None = None
+    in_agent_run = False  # consecutive User-agent lines extend one group
+    for raw_line in (txt or "").lstrip("﻿").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                cur = {"agents": [], "rules": [], "delay": None}
+                groups.append(cur)
+                in_agent_run = True
+            cur["agents"].append(value.lower())
+            continue
+        in_agent_run = False
+        if cur is None:
+            continue  # records before any User-agent line are ignored
+        if field in ("allow", "disallow"):
+            if value == "":
+                continue  # empty Disallow/Allow = no rule
+            pattern = value[:-1] if value.endswith("*") else value
+            if "*" in pattern or "$" in pattern:
+                continue  # interior wildcards: out of scope
+            cur["rules"].append(
+                {"pattern": pattern, "allow": field == "allow"}
+            )
+        elif field == "crawl-delay":
+            try:
+                cur["delay"] = float(value)
+            except ValueError:
+                pass
+
+    best: dict | None = None
+    best_len = -1
+    for g in groups:
+        for a in g["agents"]:
+            if a == "*":
+                alen = 0
+            elif a and a in agent_l:
+                alen = len(a)
+            else:
+                continue
+            if alen > best_len:
+                best, best_len = g, alen
+    if best is None:
+        return {"rules": [], "crawl_delay": None}
+    return {"rules": best["rules"], "crawl_delay": best["delay"]}
+
+
+_ROBOTS_STRUCT = StructType(
+    [
+        StructField(
+            "rules",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("pattern", StringType(), False),
+                        StructField("allow", BooleanType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("crawl_delay", DoubleType(), True),
+    ]
+)
+
+
+def make_parse_robots_udf(agent: str = "crawlspark"):
+    """Arrow-batched robots.txt parser: body string → {rules, crawl_delay}."""
+
+    @pandas_udf(_ROBOTS_STRUCT)
+    def _parse(bodies: pd.Series) -> pd.DataFrame:
+        parsed = [parse_robots_one(b, agent) for b in bodies]
+        return pd.DataFrame(
+            {
+                "rules": [
+                    [(r["pattern"], r["allow"]) for r in p["rules"]]
+                    for p in parsed
+                ],
+                "crawl_delay": [p["crawl_delay"] for p in parsed],
+            },
+            index=bodies.index,
+        )
+
+    return _parse
+
+
+def robots_from_text(
+    raw: DataFrame,
+    agent: str = "crawlspark",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → ROBOTS_SCHEMA-shaped rules table.
+
+    The fetched-robots ingestion path: raw robots.txt bodies (one per host,
+    e.g. joined from the pages corpus or a dedicated fetch) parsed into the
+    declarative rules table every other politeness operator consumes.
+    """
+    parsed = raw.select(
+        F.col(host_col).alias("host"),
+        make_parse_robots_udf(agent)(F.col(body_col)).alias("__p"),
+    )
+    return parsed.select(
+        "host",
+        F.col("__p.rules").alias("rules"),
+        F.col("__p.crawl_delay").alias("crawl_delay"),
+    )
 
 
 def gaps(fetch_log: DataFrame, ts_col: str = "sched_ts") -> DataFrame:

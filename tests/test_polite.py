@@ -1,0 +1,104 @@
+"""robots.txt raw-text parsing (polite.parse_robots_one / robots_from_text)."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlspark import polite
+
+WIKI_STYLE = """\
+# robots.txt for example.org
+User-agent: *
+Disallow: /private/
+Allow: /private/public-bit
+Crawl-delay: 2
+
+User-agent: crawlspark
+Disallow: /only-for-us/
+Crawl-delay: 0.5
+"""
+
+MULTI_AGENT_GROUP = """\
+User-agent: alpha
+User-agent: beta
+Disallow: /a/
+User-agent: *
+Disallow: /b/
+"""
+
+MESSY = """\
+﻿USER-AGENT: *   # shouty fields
+  disallow:   /x/   # inline comment
+Disallow:
+Allow: /x/ok*
+Disallow: /y/*.pdf
+Crawl-Delay: not-a-number
+noise line without colon-sep?  maybe: yes
+"""
+
+
+def test_specific_agent_group_beats_star():
+    p = polite.parse_robots_one(WIKI_STYLE, agent="crawlspark")
+    assert p["rules"] == [{"pattern": "/only-for-us/", "allow": False}]
+    assert p["crawl_delay"] == 0.5
+
+
+def test_star_group_for_unknown_agent():
+    p = polite.parse_robots_one(WIKI_STYLE, agent="someone-else")
+    assert p["rules"] == [
+        {"pattern": "/private/", "allow": False},
+        {"pattern": "/private/public-bit", "allow": True},
+    ]
+    assert p["crawl_delay"] == 2.0
+
+
+def test_multi_agent_lines_share_one_group():
+    assert polite.parse_robots_one(MULTI_AGENT_GROUP, agent="beta")["rules"] == [
+        {"pattern": "/a/", "allow": False}
+    ]
+    assert polite.parse_robots_one(MULTI_AGENT_GROUP, agent="gamma")["rules"] == [
+        {"pattern": "/b/", "allow": False}
+    ]
+
+
+def test_messy_input():
+    p = polite.parse_robots_one(MESSY, agent="anything")
+    # empty Disallow contributes nothing; trailing-* stripped (prefix
+    # semantics); interior-wildcard pattern dropped; bad delay ignored
+    assert p["rules"] == [
+        {"pattern": "/x/", "allow": False},
+        {"pattern": "/x/ok", "allow": True},
+    ]
+    assert p["crawl_delay"] is None
+
+
+def test_empty_and_none_bodies():
+    assert polite.parse_robots_one(None) == {"rules": [], "crawl_delay": None}
+    assert polite.parse_robots_one("") == {"rules": [], "crawl_delay": None}
+
+
+def test_robots_from_text_roundtrip(spark):
+    raw = spark.createDataFrame(
+        [
+            ("h1.example", WIKI_STYLE),
+            ("h2.example", "User-agent: *\nDisallow: /\n"),
+            ("h3.example", None),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = polite.robots_from_text(raw, agent="crawlspark")
+    # the parsed table drives the same filter operator as structured robots
+    frontier = spark.createDataFrame(
+        [
+            ("https://h1.example/only-for-us/p", "h1.example"),
+            ("https://h1.example/fine", "h1.example"),
+            ("https://h2.example/anything", "h2.example"),
+            ("https://h3.example/ok", "h3.example"),
+        ],
+        "url string, host string",
+    )
+    kept = polite.with_rules(frontier, rules)
+    urls = sorted(r["url"] for r in kept.select("url").collect())
+    assert urls == ["https://h1.example/fine", "https://h3.example/ok"]
+    row = {r["host"]: r for r in rules.collect()}
+    assert row["h1.example"]["crawl_delay"] == 0.5
+    assert row["h3.example"]["rules"] == []
