@@ -1,0 +1,99 @@
+"""Cuckoo-filter sidecar: no-false-negatives, FP bound, deletes, determinism."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark import cuckoo
+
+H64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(H64, min_size=0, max_size=500, unique=True))
+def test_no_false_negatives(hashes):
+    t, o = cuckoo._build_table(np.array(hashes, dtype=np.int64))
+    hit = cuckoo._probe_table(np.array(hashes, dtype=np.int64), t, o)
+    assert hit.all()
+
+
+def test_fp_rate_bounded():
+    # uint64 multiply + int64 view: the constant exceeds int64 and would
+    # otherwise promote to float64 and collapse values
+    rng = (np.arange(1, 50_001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
+    members, probes = rng[:25_000], rng[25_000:]
+    t, o = cuckoo._build_table(members)
+    assert cuckoo._probe_table(members, t, o).all()
+    fp = cuckoo._probe_table(probes, t, o).mean()
+    # 4-way/16-bit theoretical FP ~ 8/2^16 ≈ 0.012%; generous bound
+    assert fp < 0.01, fp
+
+
+def test_build_is_deterministic_and_dense():
+    hashes = (np.arange(10_000, dtype=np.int64) * 0x5851F42D4C957F2D) + 7
+    t1, o1 = cuckoo._build_table(hashes)
+    t2, o2 = cuckoo._build_table(hashes)
+    assert t1 == t2 and o1 == o2
+    # sized table absorbs the batch: overflow stays tiny at TARGET_LOAD
+    assert len(np.frombuffer(o1, dtype=np.uint16)) <= 10
+
+
+def test_delete_then_probe():
+    hashes = (np.arange(5_000, dtype=np.int64) * 0x2545F4914F6CDD1D) ^ 99
+    t, o = cuckoo._build_table(hashes)
+    table = np.frombuffer(t, dtype=np.uint16).reshape(-1, cuckoo.SLOTS).copy()
+    ovf = np.frombuffer(o, dtype=np.uint16).copy()
+    dele, keep = hashes[:1_000], hashes[1_000:]
+    table, ovf = cuckoo._delete_from_table(dele, table, ovf)
+    t2, o2 = table.tobytes(), ovf.tobytes()
+    # survivors: strict no-false-negative even after deletes (each delete
+    # removes exactly one stored copy)
+    assert cuckoo._probe_table(keep, t2, o2).all()
+    # deleted: mostly gone (residual hits are fingerprint collisions only)
+    assert cuckoo._probe_table(dele, t2, o2).mean() < 0.01
+
+
+@pytest.fixture(scope="module")
+def seen_df(request):
+    spark = request.getfixturevalue("spark")
+    import pandas as pd
+
+    hashes = (
+        (np.arange(8_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)).view(np.int64) + 3
+    )
+    pdf = pd.DataFrame({"url_hash": hashes, "bucket": (hashes % 8).astype(np.int32)})
+    return spark.createDataFrame(pdf), hashes
+
+
+def test_sidecar_roundtrip(spark, seen_df, tmp_path):
+    seen, hashes = seen_df
+    sidecar = str(tmp_path / "cuckoo")
+    cuckoo.write_sidecar(cuckoo.build(seen), sidecar)
+    probed = cuckoo.probe(seen, sidecar, keep_maybe_seen=True)
+    assert probed.filter("NOT maybe_seen").count() == 0  # no false negatives
+    import pandas as pd
+
+    other = pd.DataFrame(
+        {
+            "url_hash": hashes + 1,
+            "bucket": ((hashes + 1) % 8).astype(np.int32),
+        }
+    )
+    unseen = cuckoo.probe(spark.createDataFrame(other), sidecar)
+    assert unseen.count() >= int(len(hashes) * 0.99)  # FPs filtered, bounded
+
+
+def test_remove_dataframe_level(spark, seen_df, tmp_path):
+    seen, hashes = seen_df
+    filters = cuckoo.build(seen)
+    deletes = seen.limit(2_000)
+    updated = cuckoo.remove(filters, deletes)
+    sidecar = str(tmp_path / "cuckoo2")
+    cuckoo.write_sidecar(updated, sidecar)
+    kept = seen.join(deletes, ["url_hash", "bucket"], "left_anti")
+    still = cuckoo.probe(kept, sidecar, keep_maybe_seen=True)
+    assert still.filter("NOT maybe_seen").count() == 0
+    gone = cuckoo.probe(deletes, sidecar, keep_maybe_seen=True)
+    assert gone.filter("maybe_seen").count() < deletes.count() * 0.02
