@@ -130,3 +130,76 @@ def test_bucket_cap_drops_hot_bucket(spark):
         df, threshold=-1.0, dim=DIM, n_planes=4, bands=2, max_bucket=None
     )
     assert uncapped.count() >= 100 * 99 / 2  # quadratic blowup without cap
+
+
+# ------------------------------------------------------------------ IVF index
+
+def _clustered_corpus(spark, n_clusters=4, per_cluster=50):
+    """Vectors tightly grouped around n_clusters hash-derived centers."""
+    rows = []
+    for c in range(n_clusters):
+        center = _vec(10_000 + c)
+        for j in range(per_cluster):
+            jitter = _vec(c * 1000 + j)
+            v = [center[d] + 0.05 * jitter[d] for d in range(DIM)]
+            rows.append((c * per_cluster + j, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_train_deterministic(spark):
+    corpus = _clustered_corpus(spark)
+    c1 = simsearch.ivf_train(corpus, DIM, n_centroids=4, iters=3)
+    c2 = simsearch.ivf_train(corpus, DIM, n_centroids=4, iters=3)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == DIM
+
+
+def test_ivf_assign_separates_planted_clusters(spark):
+    corpus = _clustered_corpus(spark)
+    cents = simsearch.ivf_train(corpus, DIM, n_centroids=4, iters=4)
+    assigned = simsearch.ivf_assign(corpus, cents).collect()
+    # every planted cluster should map (almost) entirely to one centroid
+    from collections import Counter
+
+    for c in range(4):
+        cids = Counter(
+            r["__cid"] for r in assigned if c * 50 <= r["vec_id"] < (c + 1) * 50
+        )
+        top = cids.most_common(1)[0][1]
+        assert top >= 45, f"cluster {c} split: {cids}"
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    corpus = _clustered_corpus(spark)
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = simsearch.ivf_train(corpus, DIM, n_centroids=4, iters=4)
+    brute = simsearch.cosine_topk(queries, corpus, k=5, c_vec="embedding").collect()
+    ivf = simsearch.ivf_topk(queries, corpus, cents, k=5, nprobe=1).collect()
+    bset = {(r["q_id"], r["vec_id"]) for r in brute}
+    iset = {(r["q_id"], r["vec_id"]) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    # queries sit inside tight planted clusters: nprobe=1 finds their list
+    assert recall >= 0.9, f"IVF nprobe=1 recall {recall}"
+    # self must be rank 1 with cosine 1.0
+    self_rows = [r for r in ivf if r["vec_id"] == r["q_id"]]
+    assert len(self_rows) == 5 and all(r["rank"] == 1 for r in self_rows)
+
+
+def test_ivf_nprobe_monotone(spark):
+    """More probes can only add candidates: recall(nprobe=4) >= recall(1)."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = simsearch.ivf_train(corpus, DIM, n_centroids=8, iters=3)
+    brute = simsearch.cosine_topk(queries, corpus, k=10, c_vec="embedding").collect()
+    bset = {(r["q_id"], r["vec_id"]) for r in brute}
+
+    def recall(nprobe):
+        rows = simsearch.ivf_topk(queries, corpus, cents, k=10, nprobe=nprobe).collect()
+        return len(bset & {(r["q_id"], r["vec_id"]) for r in rows}) / len(bset)
+
+    assert recall(4) >= recall(1)
+    assert recall(8) == 1.0  # probing every list == brute force
