@@ -182,20 +182,28 @@ def run_round(
     )
 
     tried = scheduled.select("url_hash").unionByName(disallowed.select("url_hash"))
-    new_seen = dedup.absorb(seen, tried, cfg.n_buckets)
+    # O(|batch|) seen-absorb: `tried` is provably disjoint from `seen` (it
+    # passed this round's exact anti-join), so only the round's DELTA is
+    # materialized and seen' is a lazy union of per-round checkpointed
+    # deltas — never a re-shuffle or re-write of the accumulated 10^10-row
+    # seen table (the batch-loop analog of the r1 streaming-rewrite fix).
+    seen_delta = dedup.bucketed_hashes(tried, cfg.n_buckets)
 
-    # parse (pandas-UDF extraction over the fat html) and seen-absorb (thin
-    # hash shuffle) are independent given `scheduled` — submit both from
+    # parse (pandas-UDF extraction over the fat html) and the delta (thin
+    # hash projection) are independent given `scheduled` — submit both from
     # driver threads so the thin job rides along instead of serializing
     # (round-1 scaling was floored by ~10 serial barrier jobs/round).
     with ThreadPoolExecutor(max_workers=2) as ex:
         f_parsed = ex.submit(_materialize, parsed, cfg.persist_mode)
-        f_seen = ex.submit(_materialize, new_seen, cfg.persist_mode)
+        f_delta = ex.submit(_materialize, seen_delta, cfg.persist_mode)
         parsed = f_parsed.result()
-        new_seen = f_seen.result()
+        seen_delta = f_delta.result()
+    new_seen = seen.select("url_hash", "bucket").unionByName(seen_delta)
 
     discovered = links_to_frontier(parsed, round_no + 1, cfg.n_buckets, cfg.max_depth)
-    leftover = frontier.join(tried, "url_hash", "left_anti")
+    # anti-join on the materialized delta (same url_hash set as `tried`)
+    # instead of `tried` itself — avoids recomputing the candidate branch
+    leftover = frontier.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
     new_frontier = dedup.within(
         leftover.unionByName(discovered), stable=True
     ).join(new_seen.select("url_hash"), "url_hash", "left_anti")

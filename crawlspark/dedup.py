@@ -61,6 +61,36 @@ def absorb(seen: DataFrame, new_hashes: DataFrame, n_buckets: int = config.N_BUC
     )
 
 
+def absorb_disjoint(
+    seen: DataFrame, new_hashes: DataFrame, n_buckets: int = config.N_BUCKETS
+) -> DataFrame:
+    """C4 fast path for the crawl loop: O(|batch|) per round, not O(|seen|).
+
+    Valid when ``new_hashes`` are PROVABLY absent from ``seen`` and unique
+    within the batch — exactly the crawl loop's ``tried`` set, which is
+    derived from candidates that passed the exact anti-join (dedup.unseen)
+    this same round over a frontier already unique per url_hash.  Then the
+    union needs no cross-round dropDuplicates, so absorbing a round costs
+    one scan of the BATCH; :func:`absorb`'s general path re-shuffles the
+    entire accumulated seen table every round (the batch-loop analog of the
+    streaming full-rewrite flagged in round 1).  Callers materialize only
+    the batch-side delta and keep the union lazy — a union of per-round
+    checkpointed deltas (compact every ~100 rounds if plan depth matters).
+    """
+    return seen.select("url_hash", "bucket").unionByName(
+        bucketed_hashes(new_hashes, n_buckets)
+    )
+
+
+def bucketed_hashes(new_hashes: DataFrame, n_buckets: int = config.N_BUCKETS) -> DataFrame:
+    """SEEN_SCHEMA-shaped (url_hash, bucket) delta from a hash column —
+    the per-round piece the crawl loop materializes on its own."""
+    return new_hashes.select(
+        F.col("url_hash").cast("long").alias("url_hash"),
+        urlnorm.bucket(F.col("url_hash"), n_buckets).alias("bucket"),
+    )
+
+
 def approx_sizes(df: DataFrame, *cols: str) -> DataFrame:
     """C5: HLL++ approximate cardinalities for metrics."""
     return df.agg(
