@@ -25,6 +25,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--pages-format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--seeds", required=True, help="seed url list (text file, one url per line)")
     p.add_argument("--robots", default=None, help="robots rules (json file: [{host, rules, crawl_delay}])")
+    p.add_argument(
+        "--robots-txt",
+        default=None,
+        help="raw robots.txt bodies instead of --robots: a parquet dir with "
+        "columns (host string, robots_txt string), parsed by "
+        "polite.robots_from_text",
+    )
+    p.add_argument("--agent", default="crawlspark", help="user-agent for robots.txt group matching")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--round-seconds", type=float, default=60.0)
     p.add_argument("--max-depth", type=int, default=10)
@@ -54,7 +62,12 @@ def main(argv: list[str]) -> int:
     spark = get_spark("crawlspark", master=None)
     pages = io.read_pages(spark, args.pages, fmt=args.pages_format)
     seeds = io.read_seeds(spark, args.seeds)
-    if args.robots:
+    if args.robots_txt:
+        from crawlspark import polite
+
+        raw = spark.read.parquet(args.robots_txt)
+        robots = polite.robots_from_text(raw, agent=args.agent)
+    elif args.robots:
         with open(args.robots) as f:
             robots_rows = json.load(f)
         robots = spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
