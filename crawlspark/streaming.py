@@ -222,6 +222,42 @@ def incremental_seen_update(
     )
 
 
+def stateful_seen_apply(
+    page_stream: DataFrame, n_buckets: int = config.N_BUCKETS
+) -> DataFrame:
+    """S3 (streaming-native, runnable here): first-sighting dedup via
+    ``applyInPandasWithState`` — per-key GroupState in the state store, so
+    each micro-batch costs O(|batch|) state lookups and each url_hash is
+    emitted exactly once across the stream's lifetime.
+
+    Unlike ``transformWithStateInPandas`` (below), this older stateful API
+    carries its state through Arrow + the regular python worker protocol —
+    no protobuf state-server — so it executes in this sandbox and is the
+    verified streaming-native path; TWS remains the forward-looking twin.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    buckets = int(n_buckets)
+
+    def _first_seen(key, pdf_iter, state: GroupState):
+        if not state.exists:
+            state.update((True,))
+            h = int(key[0])
+            yield pd.DataFrame({"url_hash": [h], "bucket": [h % buckets]})
+
+    hashed = page_stream.select(
+        urlnorm.url_hash(urlnorm.canonicalize(F.col("url"))).alias("url_hash")
+    )
+    return hashed.groupBy("url_hash").applyInPandasWithState(
+        _first_seen,
+        outputStructType="url_hash long, bucket int",
+        stateStructType="flag boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ------------------------------------------------- transformWithState dedup
 
 def stateful_seen_stream(

@@ -144,3 +144,29 @@ def test_stateful_seen_stream(spark, page_dir, tmp_path):
     hashes = [r["url_hash"] for r in rows]
     assert len(hashes) == len(set(hashes)) == n_urls
     assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
+def test_stateful_seen_apply(spark, page_dir, tmp_path):
+    """applyInPandasWithState dedup (no skip — runs in this sandbox): each
+    url_hash emitted exactly once even when the same pages flow twice."""
+    double_dir = str(tmp_path / "pages_double2")
+    pages = spark.read.parquet(page_dir)
+    pages.write.mode("overwrite").parquet(double_dir)
+    pages.write.mode("append").parquet(double_dir)
+
+    stream = streaming.read_page_stream(spark, double_dir, max_files_per_trigger=1)
+    out = streaming.stateful_seen_apply(stream, n_buckets=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("apply_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from apply_seen").collect()
+    n_urls = pages.select("url").distinct().count()
+    hashes = [r["url_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes)) == n_urls
+    assert all(0 <= r["bucket"] < 8 for r in rows)
