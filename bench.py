@@ -7,9 +7,9 @@ Default mode (what the driver runs): headline queries at
 
 ``--scaling`` mode (the north-rule evidence; no real cluster in this
 sandbox): runs the SAME crawl job on the SAME synthetic pages input at
-local[8] and local[32] and reports throughput at both plus efficiency
-``(T8_wall / T32_wall) / 4`` → written to BENCH/BASELINE.md by
-tools/write_baseline.py.
+two parallelism levels (default 4 and 16, see CRAWLSPARK_SCALE_LEVELS)
+and reports throughput at both plus efficiency ``(T_lo / T_hi) / (hi/lo)``
+— results recorded by hand in BENCH/BASELINE.md and BENCH/scaling_*.json.
 
 The crawl headline metric is BASELINE.json's north star: URLs
 scheduled+extracted per second through the full pipeline (canon → hash →
