@@ -1,17 +1,33 @@
-"""Multimodal (image/audio/video) column plumbing (session mandate).
+"""Multimodal (image/audio/video) columns (session mandate).
 
-Media travel as opaque ``binary`` columns with a typed metadata struct; the
-Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested.  The actual codec step is STUBBED: the
-sandbox ships no image/audio libraries, so ``decode_features`` either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-feature vector derived from the bytes (test mode).  Swapping in a real
-decoder (PIL/ffmpeg) changes only ``_decode_one``.
+Media travel as opaque ``binary`` columns with a typed metadata struct.
+The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested, and so are two CODECS, implemented from
+the published file-format specs with stdlib + numpy only (no PIL/ffmpeg
+in this sandbox):
+
+* **PNG** (RFC 2083): chunk walk (struct), IDAT inflate (zlib), full
+  scanline un-filtering (None/Sub/Up/Average/Paeth) to an H×W×C uint8
+  array, plus a matching encoder used by the round-trip tests.  8-bit
+  gray/RGB/RGBA, non-interlaced — the dominant web PNG shapes.
+* **WAV/PCM** (RIFF): stdlib ``wave`` + numpy int16 frames; encoder for
+  round-trips.
+
+``decode_features`` routes by magic bytes: PNG/WAV payloads get real
+decoded features (dimensions, channel stats, histogram / duration, RMS,
+zero-crossings); **video remains the one honest stub** (no container
+parser in the stdlib) — strict mode raises for it, test mode derives a
+deterministic pseudo-vector.  Swapping in ffmpeg changes only
+``_decode_one``'s video branch.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -55,20 +71,193 @@ FEATURES_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
-def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
-    """STUB decode/feature-extract.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    Real implementation would be: image → resize+embed (PIL/torch), audio →
-    mel features, video → frame-sample+embed.  None of those libs exist in
-    this container, so strict mode raises and test mode derives a
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal deterministic PNG encoder (8-bit gray/RGB/RGBA, filter 0)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """PNG scanline reconstruction (spec §6): filters 0-4 per row."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized
+            cur += prev
+        elif f == 1:  # Sub — left-neighbor recurrence
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → H×W×C uint8 (8-bit gray/RGB/RGBA, non-interlaced)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = 0
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError(f"unsupported PNG shape: depth={depth} interlace={interlace}")
+            channels = {0: 1, 2: 3, 6: 4}.get(color, 0)
+            if channels == 0:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = _unfilter_scanlines(raw, height, stride, channels)
+    return out.reshape(height, width, channels)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index arrays (vectorized)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 PCM (n,) or (n, ch) → RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE → (sample_rate, int16 frames shaped (n, channels))."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"unsupported WAV sample width {w.getsampwidth()}")
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
+
+
+def _png_features(payload: bytes) -> list[float]:
+    arr = decode_png(payload).astype(np.float32)
+    h, w, ch = arr.shape
+    means = arr.mean(axis=(0, 1)) / 255.0
+    stds = np.clip(arr.std(axis=(0, 1)) / 128.0, 0.0, 1.0)
+    gray = arr.mean(axis=2) / 255.0
+    hist, _ = np.histogram(gray, bins=5, range=(0.0, 1.0))
+    hist = hist / gray.size
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = min(w, 4096) / 4096.0
+    feats[1] = min(h, 4096) / 4096.0
+    feats[2] = ch / 4.0
+    feats[3 : 3 + ch] = means[:4]
+    feats[7 : 7 + ch] = stds[:4]
+    feats[11:16] = hist
+    return feats.tolist()
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    rate, frames = decode_wav(payload)
+    x = frames.astype(np.float32) / 32768.0
+    mono = x.mean(axis=1)
+    n = max(len(mono), 1)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    hist, _ = np.histogram(np.abs(mono), bins=10, range=(0.0, 1.0))
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = min(n / rate, 60.0) / 60.0  # duration
+    feats[1] = min(rate, 48000) / 48000.0
+    feats[2] = min(frames.shape[1], 2) / 2.0
+    feats[3] = min(float(np.sqrt(np.mean(mono**2))), 1.0)  # rms
+    feats[4] = min(float(np.max(np.abs(mono), initial=0.0)), 1.0)  # peak
+    feats[5] = zcr
+    feats[6:16] = hist / n
+    return feats.tolist()
+
+
+def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
+    """Decode/feature-extract, routed by magic bytes.
+
+    PNG and WAV are REAL (stdlib+numpy codecs above).  Video and unknown
+    formats: strict mode raises (no container parser in this sandbox —
+    install ffmpeg and extend this branch); test mode derives a
     deterministic pseudo-feature vector from the payload digest.
     """
     if payload is None:
         return None
+    if payload.startswith(_PNG_SIG):
+        return _png_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_features(payload)
     if strict:
         raise NotImplementedError(
-            f"no {kind} codec available in this environment; "
-            "install PIL/ffmpeg and replace multimodal._decode_one"
+            f"no {kind} codec for this payload format in this environment; "
+            "install ffmpeg and extend multimodal._decode_one"
         )
     dig = hashlib.sha256(payload).digest()
     arr = np.frombuffer(dig[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
@@ -109,6 +298,58 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.coalesce(F.col("meta_bytes"), F.length("payload").cast("long")).alias("n_bytes"),
         F.col("meta_format").alias("format"),
     )
+
+
+def _seed_bytes(tag: str, n: int) -> np.ndarray:
+    """n deterministic bytes from repeated sha256 of tag."""
+    out = b""
+    c = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{tag}:{c}".encode()).digest()
+        c += 1
+    return np.frombuffer(out[:n], dtype=np.uint8)
+
+
+def synthesize_real_media(spark, n: int = 60) -> DataFrame:
+    """Deterministic media table whose image/audio payloads are REAL files
+    (PNG via encode_png, WAV via encode_wav); video stays opaque bytes —
+    the strict-mode boundary the tests pin down."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            side = 8 + (i % 3) * 4
+            arr = _seed_bytes(f"img{i}", side * side * 3).reshape(side, side, 3)
+            payload, fmt = encode_png(arr), "png"
+            w = h = side
+            dur = None
+        elif kind == "audio":
+            nsamp = 1600 + (i % 5) * 800
+            t = np.arange(nsamp, dtype=np.float32)
+            tone = np.sin(2 * np.pi * (100.0 + i) * t / 16000.0)
+            noise = (_seed_bytes(f"aud{i}", nsamp).astype(np.float32) - 127.5) / 1024.0
+            samples = np.clip((tone * 0.5 + noise) * 32767, -32768, 32767).astype(np.int16)
+            payload, fmt = encode_wav(samples, 16000), "wav"
+            w = h = None
+            dur = int(nsamp / 16.0)
+        else:
+            payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mp4"
+            w = h = None
+            dur = 1000 * (1 + i % 30)
+        rows.append(
+            (
+                i,
+                f"https://media{i % 7}.example/m/{i}",
+                kind,
+                payload,
+                fmt,
+                len(payload),
+                w,
+                h,
+                dur,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthesize_media(spark, n: int = 100) -> DataFrame:
