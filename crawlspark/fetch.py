@@ -86,14 +86,33 @@ def lookup_latest(
     transform) so the SMJ shuffles only the scheduled side.
     """
     wanted = scheduled.select("url").join(keys, "url", "inner")
-    build = F.broadcast(wanted) if broadcast_wanted else wanted
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.col("html"))
+    if broadcast_wanted:
+        hits = pages.select("url", "warc_ts", "html").join(
+            F.broadcast(wanted), ["url", "warc_ts"], "inner"
+        )
+    else:
+        # bucketed-corpus path: join on url ALONE so the pages side's
+        # HashPartitioning(url) (from io.write_pages_bucketed) satisfies the
+        # join distribution and the html scan needs NO Exchange — only the
+        # thin wanted side shuffles into the bucketing.  The as-of pick
+        # moves to a post-join range filter: `>=` instead of `==` because
+        # Catalyst folds an equality filter back into the join keys (which
+        # re-introduces the (url, warc_ts) hash exchange over html); the
+        # two are equivalent here since __want_ts IS each url's max
+        # capture ts — no row can exceed it (1-3 captures per url).
+        hits = (
+            pages.select("url", "warc_ts", "html")
+            .join(
+                wanted.withColumnRenamed("warc_ts", "__want_ts"), "url", "inner"
+            )
+            .filter(F.col("warc_ts") >= F.col("__want_ts"))
+            .drop("__want_ts")
+        )
     hits = (
-        pages.select("url", "warc_ts", "html")
-        .join(build, ["url", "warc_ts"], "inner")
         # deterministic pick if several captures share (url, max warc_ts);
         # this window sees only scheduled-row-count rows, never the corpus
-        .withColumn("__rn", F.row_number().over(w))
+        hits.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -67,3 +67,25 @@ def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         out.writeTo(path).createOrReplace()
     else:
         out.write.mode("overwrite").parquet(path)
+
+
+def write_pages_bucketed(
+    pages: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Persist the pages corpus BUCKETED by url — the mega-batch fetch path.
+
+    ``fetch.lookup_latest(broadcast_wanted=False)`` over a table written
+    this way plans a sort-merge join where the html-bearing pages side has
+    NO Exchange: HashPartitioning(url) from the bucketed scan satisfies the
+    join's clustered-distribution requirement on (url, warc_ts), so only
+    the (thin) scheduled side shuffles.  This is the parquet analog of an
+    Iceberg ``bucket(url)`` partition transform; on a cluster the table
+    lives in the catalog/metastore instead of the session-local warehouse.
+    """
+    (
+        pages.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "url")
+        .sortBy("url")
+        .saveAsTable(table)
+    )

@@ -71,3 +71,66 @@ def test_in_window_range_join(spark):
     out = fetch.in_window(events, slots, ["host"], "lo", "hi", "ts").collect()
     got = sorted((r["host"], r["ts"], r["lo"]) for r in out)
     assert got == [("h", 5.0, 0.0), ("h", 25.0, 20.0)]
+
+
+def test_lookup_latest_bucketed_no_exchange_on_pages(spark, tmp_path):
+    """The documented mega-batch path for real: pages bucketed by url +
+    broadcast_wanted=False => SMJ whose html-bearing side reads bucketed
+    (no Exchange), and results identical to the broadcast path."""
+    import contextlib
+    import io as _io
+
+    import gen_pages as gp
+    from crawlspark import fetch, io
+    from crawlspark.schemas import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(gp.gen_pages_local(300), PAGES_SCHEMA)
+    io.write_pages_bucketed(pages, "pages_bucketed_test", n_buckets=8)
+    try:
+        tbl = spark.table("pages_bucketed_test")
+        sched = spark.createDataFrame(
+            [(gp.url_of(i), f"h{i}", 0, 1.0, float(i)) for i in range(0, 300, 3)],
+            "url string, host string, depth int, crawl_delay double, sched_ts double",
+        )
+        keys = fetch.latest_keys(tbl)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = fetch.lookup_latest(sched, tbl, keys, broadcast_wanted=False)
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                got.explain("formatted")
+            plan = buf.getvalue()
+            # the html-bearing scan specifically must read bucketed AND have
+            # no Exchange between it and its join (only Sort/Filter)
+            import re
+
+            html_scans = [
+                m.group(1)
+                for m in re.finditer(
+                    r"\((\d+)\) Scan parquet [^\n]*\n(?:[^\n]+\n)*?ReadSchema: [^\n]*html:binary",
+                    plan,
+                )
+            ]
+            assert html_scans, plan
+            for node in html_scans:
+                detail = plan[plan.index(f"({node}) Scan parquet") :]
+                assert "Bucketed: true" in detail.split("\n\n")[0], detail[:400]
+                tree_line_idx = next(
+                    i
+                    for i, l in enumerate(plan.splitlines())
+                    if l.strip().endswith(f"({node})") and "Scan parquet" in l
+                )
+                above = "\n".join(plan.splitlines()[tree_line_idx - 3 : tree_line_idx])
+                assert "Exchange" not in above, above
+            got_rows = {
+                (r["url"], r["warc_ts"]) for r in got.select("url", "warc_ts").collect()
+            }
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        ref = fetch.lookup_latest(sched, pages, fetch.latest_keys(pages))
+        ref_rows = {
+            (r["url"], r["warc_ts"]) for r in ref.select("url", "warc_ts").collect()
+        }
+        assert got_rows == ref_rows and len(got_rows) == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")

@@ -102,3 +102,19 @@ def test_robots_from_text_roundtrip(spark):
     row = {r["host"]: r for r in rules.collect()}
     assert row["h1.example"]["crawl_delay"] == 0.5
     assert row["h3.example"]["rules"] == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400), st.text(min_size=1, max_size=20))
+def test_parse_robots_never_raises(body, agent):
+    """Total function over arbitrary junk: always a well-shaped dict."""
+    p = polite.parse_robots_one(body, agent=agent)
+    assert set(p) == {"rules", "crawl_delay"}
+    for r in p["rules"]:
+        assert isinstance(r["pattern"], str) and isinstance(r["allow"], bool)
+        assert "*" not in r["pattern"] and "$" not in r["pattern"]
+    assert p["crawl_delay"] is None or isinstance(p["crawl_delay"], float)
