@@ -56,3 +56,7 @@ class CrawlConfig:
     #    cluster) — survives executor loss AND truncates lineage; the
     #    cluster-grade setting.
     persist_mode: str = os.environ.get("CRAWLSPARK_PERSIST", "checkpoint")
+    # seen' is a lazy union of per-round checkpointed deltas (O(batch)
+    # absorb); every this-many rounds the union is re-materialized flat so
+    # plan depth stays bounded on long unsnapshotted crawls.
+    seen_compact_rounds: int = 16

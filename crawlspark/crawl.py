@@ -274,6 +274,11 @@ def crawl(
         # seen' was materialized inside run_round (overlapped with parse);
         # frontier' is the only frame left to pin for the next round
         seen = out["seen"]
+        # bound the lazy-union plan depth on long crawls: every
+        # seen_compact_rounds, pin the union flat (one O(|seen|) pass,
+        # amortized — NOT per round)
+        if cfg.seen_compact_rounds and (rounds_run + 1) % cfg.seen_compact_rounds == 0:
+            seen = _materialize(seen, cfg.persist_mode)
         frontier = _materialize(out["frontier"], cfg.persist_mode)
         frontier_count = frontier.count()
         logs.append(out["fetch_log"])

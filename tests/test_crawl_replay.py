@@ -159,3 +159,19 @@ def test_resume_equivalence(spark, fixtures, tmp_path):
             ).select(F.xxhash64("url").alias("h")).collect()
         }
         assert got_seen == want_seen, f"seen set diverged resuming after round {k}"
+
+
+def test_seen_compaction_every_round_identical(spark, fixtures):
+    """Compacting the lazy seen union every round (the most aggressive
+    setting of seen_compact_rounds) must not change fetch order or the
+    final seen set."""
+    import dataclasses
+
+    oracle = fixtures[-1]
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    cfg_c = dataclasses.replace(CFG, seen_compact_rounds=1)
+    result = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg_c)
+    assert _fetch_tuples(result) == sorted(oracle.fetch_log)
+    got_seen = {r["url_hash"] for r in result["seen"].collect()}
+    ref = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=CFG)
+    assert got_seen == {r["url_hash"] for r in ref["seen"].collect()}
