@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-from . import config, polite
+from . import config, polite, urlnorm
 
 # ordering key within a host (must match tests/oracle_crawler.py)
 _HOST_ORDER = ["priority", "discovered_round", "depth", "url"]
@@ -190,6 +190,41 @@ def log_with_seq(fetch_log: DataFrame) -> DataFrame:
     w = Window.partitionBy("round").orderBy("sched_ts", "host", "url")
     return fetch_log.select(
         "round", F.row_number().over(w).cast("long").alias("seq"), "url"
+    )
+
+
+def indegree_priorities(parsed: DataFrame, scale: float = 1.0) -> DataFrame:
+    """(url, priority) from link indegree — the citation-count analog of
+    the reference's eLink neighbor expansion: a url cited by many fetched
+    pages gets ``priority = -log1p(indegree) * scale``, which sorts it
+    EARLIER under the ascending host order ``(priority, discovered_round,
+    depth, url)``.  One explode + one hash-aggregate (map-side combined);
+    canonicalization reuses the engine's UDF so the keys match frontier
+    urls exactly.
+    """
+    canon = (
+        parsed.select(F.explode("links").alias("raw_url"))
+        .filter(F.col("raw_url").isNotNull())
+        .select(urlnorm.canonicalize(F.col("raw_url")).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    )
+    deg = canon.groupBy("url").agg(F.count(F.lit(1)).alias("indegree"))
+    return deg.select(
+        "url", (-F.log1p(F.col("indegree")) * F.lit(scale)).alias("priority")
+    )
+
+
+def with_priorities(frontier: DataFrame, prios: DataFrame) -> DataFrame:
+    """Overwrite frontier priorities from a (url, priority) table (urls not
+    in the table keep neutral 0.0); schema and column order preserved."""
+    cols = frontier.columns
+    joined = frontier.drop("priority").join(
+        prios.withColumnRenamed("priority", "__p"), "url", "left"
+    )
+    return (
+        joined.withColumn("priority", F.coalesce(F.col("__p"), F.lit(0.0)))
+        .drop("__p")
+        .select(*cols)
     )
 
 

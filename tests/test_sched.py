@@ -106,3 +106,49 @@ def test_robots_filtering(spark):
         "https://host5.example/pub": True,
         "https://unknown.example/x": True,
     }
+
+
+def test_indegree_priorities_reorder_schedule(spark):
+    """A url cited by many fetched pages schedules ahead of lexicographic
+    peers; uncited urls keep neutral priority."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import sched, urlnorm
+
+    parsed = spark.createDataFrame(
+        [
+            (["https://h.example/zzz", "https://h.example/aaa"],),
+            (["https://h.example/zzz"],),
+            (["https://h.example/ZZZ/../zzz"],),  # messy spelling, same target
+        ],
+        "links array<string>",
+    )
+    prios = sched.indegree_priorities(parsed)
+    rows = {r["url"]: r["priority"] for r in prios.collect()}
+    assert rows["https://h.example/zzz"] < rows["https://h.example/aaa"] < 0
+
+    frontier = spark.createDataFrame(
+        [
+            (u, 0.0, 0, 0)
+            for u in (
+                "https://h.example/aaa",
+                "https://h.example/mmm",
+                "https://h.example/zzz",
+            )
+        ],
+        "url string, priority double, depth int, discovered_round int",
+    ).select(
+        "url",
+        urlnorm.url_hash(F.col("url")).alias("url_hash"),
+        F.lit("h.example").alias("host"),
+        "priority",
+        "depth",
+        "discovered_round",
+        F.lit(1.0).alias("crawl_delay"),
+    )
+    prioritized = sched.with_priorities(frontier, prios)
+    assert prioritized.columns == frontier.columns
+    out = sched.schedule_window(prioritized, 0, round_seconds=2.0, max_budget=2)
+    got = sorted((r["host_rank"], r["url"]) for r in out.collect())
+    # zzz (indegree 3) first, then aaa (indegree 1); mmm (neutral 0.0) cut
+    assert got == [(1, "https://h.example/zzz"), (2, "https://h.example/aaa")]
