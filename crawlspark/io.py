@@ -21,6 +21,10 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     callers should select() before joining so `html` never moves early."""
     if fmt == ICEBERG:
         return spark.read.format(ICEBERG).load(path)
+    if fmt == "warc":
+        from . import warc
+
+        return warc.read_warc(spark, path)
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

@@ -1,0 +1,182 @@
+"""WARC source — read Common Crawl's native archive format (ISO 28500).
+
+The north star frames the corpus as "Common-Crawl-style web pages"; the
+parquet/Iceberg table is the engine's primary layout, and this module is
+the ingestion edge that gets there: ``read_warc`` turns a directory of
+``.warc`` / ``.warc.gz`` files into PAGES_SCHEMA-shaped rows
+(url, warc_ts, html, text=NULL, lang=NULL) ready for
+``extract.text_links_udf`` downstream.
+
+Format essentials (public spec, ISO 28500 / WARC 1.0–1.1):
+
+* a file is a sequence of records; each is ``WARC/1.x\\r\\n`` + named
+  headers + ``\\r\\n`` + ``Content-Length`` payload bytes + ``\\r\\n\\r\\n``;
+* ``.warc.gz`` files are CONCATENATED gzip members, one record per member
+  (what Common Crawl ships) — decoded with zlib in multi-member mode;
+* ``response`` records carry an HTTP response as payload: status line +
+  headers + body; the body is the page bytes.  ``resource`` records carry
+  the raw object directly.  Other types (warcinfo/request/metadata) are
+  skipped.
+
+Scale shape: Spark's ``binaryFile`` source gives one row per archive file
+(Common Crawl segments are ~1 GB — the standard unit of parallelism), and
+``mapInPandas`` explodes each into its page rows executor-side; nothing
+touches the driver.  A writer (``write_warc``) exists for deterministic
+round-trip tests.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _iomod
+import zlib
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CRLF = b"\r\n"
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Body of an HTTP response payload (after the header terminator)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return payload  # not actually HTTP-framed; take it whole
+    return payload[sep + 4 :]
+
+
+def _parse_warc_date(s: str) -> datetime:
+    # WARC-Date is ISO 8601 UTC, e.g. 2024-01-17T08:01:02Z (1.1 allows frac)
+    s = s.strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    return datetime.fromisoformat(s).astimezone(timezone.utc).replace(tzinfo=None)
+
+
+def parse_warc_stream(data: bytes):
+    """Yield dicts (url, warc_ts, html) for response/resource records."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        header_block = data[pos:head_end].decode("latin-1")
+        lines = header_block.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC record header at byte {pos}: {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        payload = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        rtype = headers.get("warc-type", "")
+        if rtype in ("response", "resource"):
+            url = headers.get("warc-target-uri")
+            ts = headers.get("warc-date")
+            if url and ts:
+                body = _http_body(payload) if rtype == "response" else payload
+                yield {
+                    "url": url,
+                    "warc_ts": _parse_warc_date(ts),
+                    "html": body,
+                }
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    """Decode concatenated gzip members (the .warc.gz layout) or pass through."""
+    if not data.startswith(b"\x1f\x8b"):
+        return data
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data[pos:]))
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """``.warc``/``.warc.gz`` files under ``path`` → PAGES_SCHEMA rows.
+
+    One archive file = one input row (binaryFile source) = the unit of
+    parallelism, matching Common Crawl's ~1 GB segment layout; records are
+    exploded executor-side.  ``text``/``lang`` are NULL — run the
+    extraction UDF downstream exactly as for pre-parsed corpora.
+    """
+    import pandas as pd
+
+    from .schemas import PAGES_SCHEMA
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("content")
+    )
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc_stream(_maybe_gunzip(bytes(blob))):
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": rec["warc_ts"],
+                            "html": rec["html"],
+                            "text": None,
+                            "lang": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(_explode, PAGES_SCHEMA)
+
+
+def write_warc(records, path: str, compress: bool = False) -> None:
+    """Deterministic WARC writer for round-trip tests.
+
+    ``records``: iterable of (url, warc_ts datetime, html bytes); written
+    as ``response`` records with a minimal HTTP frame, one gzip member per
+    record when ``compress`` (the Common Crawl layout).
+    """
+    out = _iomod.BytesIO()
+    for url, ts, html in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode()
+            + html
+        )
+        header = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n"
+        ).encode()
+        record = header + http + b"\r\n\r\n"
+        if compress:
+            buf = _iomod.BytesIO()
+            # mtime pinned for byte-determinism
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(record)
+            out.write(buf.getvalue())
+        else:
+            out.write(record)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())

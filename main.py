@@ -22,7 +22,13 @@ import sys
 def parse_args(argv: list[str]) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="crawlspark: PySpark crawl frontier + scheduler")
     p.add_argument("--pages", required=True, help="pages table path (parquet dir or iceberg table)")
-    p.add_argument("--pages-format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument(
+        "--pages-format",
+        default="parquet",
+        choices=["parquet", "iceberg", "warc"],
+        help="warc: a directory of .warc/.warc.gz archives (Common Crawl "
+        "layout); text extraction then runs in the crawl loop as usual",
+    )
     p.add_argument("--seeds", required=True, help="seed url list (text file, one url per line)")
     p.add_argument("--robots", default=None, help="robots rules (json file: [{host, rules, crawl_delay}])")
     p.add_argument(

@@ -31,3 +31,77 @@ def test_seeds_from_term_limit_deterministic(spark):
     got = [r["url"] for r in cio.seeds_from_term(docs, "the", limit=10).collect()]
     assert got == sorted(got)
     assert got == [f"https://h.example/{i:03d}" for i in range(10)]
+
+
+# ----------------------------------------------------------------- WARC source
+
+def _warc_records(n=8):
+    from datetime import datetime, timezone
+
+    import gen_pages as gp
+
+    recs = []
+    for i in range(n):
+        ts = datetime(2024, 1, 1 + i % 5, 8, i, 0)
+        recs.append((gp.url_of(i), ts, gp.html_of(i, 0, 50)))
+    return recs
+
+
+def test_warc_roundtrip_plain_and_gz(spark, tmp_path):
+    from crawlspark import warc
+    from crawlspark.schemas import PAGES_SCHEMA
+
+    recs = _warc_records()
+    d = tmp_path / "warcs"
+    d.mkdir()
+    warc.write_warc(recs[:4], str(d / "a.warc"), compress=False)
+    warc.write_warc(recs[4:], str(d / "b.warc.gz"), compress=True)
+
+    pages = warc.read_warc(spark, str(d))
+    assert pages.schema == PAGES_SCHEMA
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == 8
+    for url, ts, html in recs:
+        row = got[url]
+        assert bytes(row["html"]) == html  # exact body bytes through HTTP frame
+        assert row["warc_ts"] == ts
+        assert row["text"] is None and row["lang"] is None
+
+
+def test_warc_feeds_extraction(spark, tmp_path):
+    """WARC → read_warc → the same extraction UDF as parquet corpora →
+    byte-identical text vs the generator's ground truth."""
+    import gen_pages as gp
+    from pyspark.sql import functions as F
+
+    from crawlspark import extract, warc
+
+    recs = _warc_records()
+    p = tmp_path / "c.warc.gz"
+    warc.write_warc(recs, str(p), compress=True)
+    pages = warc.read_warc(spark, str(tmp_path))
+    out = pages.select("url", extract.text_udf(F.col("html")).alias("text"))
+    got = {r["url"]: r["text"] for r in out.collect()}
+    for i in range(8):
+        assert got[gp.url_of(i)] == gp.text_of(i, 0)
+
+
+def test_warc_skips_non_response_records(spark, tmp_path):
+    from crawlspark import warc
+
+    # hand-build a warcinfo record followed by one response
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 10\r\n\r\n"
+        + b"software:x"
+        + b"\r\n\r\n"
+    )
+    recs = _warc_records(1)
+    p = tmp_path / "d.warc"
+    warc.write_warc(recs, "/tmp/_tail.warc", compress=False)
+    with open("/tmp/_tail.warc", "rb") as f:
+        tail = f.read()
+    with open(p, "wb") as f:
+        f.write(info + tail)
+    pages = warc.read_warc(spark, str(tmp_path))
+    rows = pages.collect()
+    assert len(rows) == 1 and rows[0]["url"] == recs[0][0]
