@@ -992,13 +992,15 @@ def ann_lsh(spark, sf):
     return simsearch.lsh_topk(q, e.select("vec_id", "embedding"), dim=64, k=5, n_planes=4)
 
 
-@_q("multimodal_pipeline")  # rows-only: synthetic binary payloads
+@_q("multimodal_pipeline")  # rows-only: binary payloads (real PNG/WAV/Y4M)
 def multimodal_pipeline(spark, sf):
-    """Multimodal plumbing end-to-end: typed metadata projection joined to
-    mapInPandas feature extraction (decode step stubbed — no codec libs)."""
+    """Multimodal end-to-end: typed metadata projection joined to
+    mapInPandas feature extraction over REAL payloads — PNG, WAV and Y4M
+    video decoded by the stdlib codecs in crawlspark.multimodal (only the
+    opaque mp4 subset takes the digest fallback)."""
     from crawlspark import multimodal
 
-    media = multimodal.synthesize_media(spark, 100)
+    media = multimodal.synthesize_real_media(spark, 99)
     feats = multimodal.decode_features(media, strict=False).select(
         "media_id", "payload_sha256", "features"
     )

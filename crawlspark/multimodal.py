@@ -12,13 +12,16 @@ in this sandbox):
   gray/RGB/RGBA, non-interlaced — the dominant web PNG shapes.
 * **WAV/PCM** (RIFF): stdlib ``wave`` + numpy int16 frames; encoder for
   round-trips.
+* **Y4M video** (YUV4MPEG2, ffmpeg's uncompressed interchange format):
+  ASCII stream header + FRAME records of planar YUV; decoder returns the
+  luma planes, features are frame-sampled (geometry, luma stats, a
+  |Δluma| motion proxy); encoder for round-trips.
 
-``decode_features`` routes by magic bytes: PNG/WAV payloads get real
-decoded features (dimensions, channel stats, histogram / duration, RMS,
-zero-crossings); **video remains the one honest stub** (no container
-parser in the stdlib) — strict mode raises for it, test mode derives a
-deterministic pseudo-vector.  Swapping in ffmpeg changes only
-``_decode_one``'s video branch.
+``decode_features`` routes by magic bytes: PNG/WAV/Y4M payloads get real
+decoded features; **compressed containers (mp4 etc.) are the one honest
+stub** (no codec libs in this sandbox) — strict mode raises for them,
+test mode derives a deterministic pseudo-vector.  Swapping in ffmpeg
+changes only ``_decode_one``'s fallback branch.
 """
 
 from __future__ import annotations
@@ -204,6 +207,94 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Luma frames (T, H, W) uint8 → YUV4MPEG2 (C420jpeg, neutral chroma).
+
+    Y4M is ffmpeg's uncompressed interchange format — a one-line ASCII
+    header then ``FRAME\\n`` + planar YUV per frame.  Dimensions must be
+    even (4:2:0 chroma is quarter-size).
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (T, H, W) luma")
+    t, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 requires even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n".encode()
+    chroma = b"\x80" * ((h // 2) * (w // 2))
+    out = [head]
+    for i in range(t):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+        out.append(chroma)  # U
+        out.append(chroma)  # V
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[tuple[int, int], np.ndarray]:
+    """YUV4MPEG2 → ((fps_num, fps_den), luma frames (T, H, W) uint8).
+
+    Parses the stream header tokens (W/H/F/C), walks FRAME records, and
+    returns the Y planes; chroma is skipped (read for offset only).
+    Supports C420*, C422, C444 and Cmono subsampling.
+    """
+    if not data.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    csp = "420"
+    for tok in data[len(_Y4M_SIG) : nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t.startswith("C"):
+            csp = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if csp.startswith("420"):
+        chroma = 2 * ((h // 2) * (w // 2))
+    elif csp.startswith("422"):
+        chroma = 2 * (h * (w // 2))
+    elif csp.startswith("444"):
+        chroma = 2 * h * w
+    elif csp.startswith("mono"):
+        chroma = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{csp}")
+    ysize = h * w
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME record at byte {pos}")
+        pos = fnl + 1
+        plane = data[pos : pos + ysize]
+        if len(plane) < ysize:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(plane, dtype=np.uint8).reshape(h, w))
+        pos += ysize + chroma
+    return fps, np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+def sample_frames(frames: np.ndarray, k: int = 8) -> np.ndarray:
+    """Up-to-k evenly spaced frames — the bounded-work path for long clips."""
+    t = frames.shape[0]
+    if t <= k:
+        return frames
+    idx = (np.arange(k) * t // k).clip(0, t - 1)
+    return frames[idx]
+
+
 def _png_features(payload: bytes) -> list[float]:
     arr = decode_png(payload).astype(np.float32)
     h, w, ch = arr.shape
@@ -240,13 +331,36 @@ def _wav_features(payload: bytes) -> list[float]:
     return feats.tolist()
 
 
+def _y4m_features(payload: bytes) -> list[float]:
+    """Frame-sampled video features: geometry, luma stats, motion proxy."""
+    (num, den), frames = decode_y4m(payload)
+    t = frames.shape[0]
+    h, w = frames.shape[1:]
+    fps = num / max(den, 1)
+    samp = sample_frames(frames).astype(np.float32)
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = min(t / fps if fps else 0.0, 60.0) / 60.0  # duration
+    feats[1] = min(fps, 120.0) / 120.0
+    feats[2] = min(w, 4096) / 4096.0
+    feats[3] = min(h, 4096) / 4096.0
+    feats[4] = min(t, 300) / 300.0
+    if samp.size:
+        feats[5] = float(samp.mean()) / 255.0
+        feats[6] = min(float(samp.std()) / 128.0, 1.0)
+        if samp.shape[0] > 1:  # mean |Δluma| between sampled frames
+            feats[7] = float(np.abs(np.diff(samp, axis=0)).mean()) / 255.0
+        hist, _ = np.histogram(samp / 255.0, bins=5, range=(0.0, 1.0))
+        feats[8:13] = hist / samp.size
+    return feats.tolist()
+
+
 def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
     """Decode/feature-extract, routed by magic bytes.
 
-    PNG and WAV are REAL (stdlib+numpy codecs above).  Video and unknown
-    formats: strict mode raises (no container parser in this sandbox —
-    install ffmpeg and extend this branch); test mode derives a
-    deterministic pseudo-feature vector from the payload digest.
+    PNG, WAV and Y4M video are REAL (stdlib+numpy codecs above).
+    Compressed containers (mp4 etc.): strict mode raises (no codec libs
+    in this sandbox — install ffmpeg and extend this branch); test mode
+    derives a deterministic pseudo-feature vector from the payload digest.
     """
     if payload is None:
         return None
@@ -254,6 +368,8 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
         return _png_features(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_features(payload)
+    if payload.startswith(_Y4M_SIG):
+        return _y4m_features(payload)
     if strict:
         raise NotImplementedError(
             f"no {kind} codec for this payload format in this environment; "
@@ -311,9 +427,11 @@ def _seed_bytes(tag: str, n: int) -> np.ndarray:
 
 
 def synthesize_real_media(spark, n: int = 60) -> DataFrame:
-    """Deterministic media table whose image/audio payloads are REAL files
-    (PNG via encode_png, WAV via encode_wav); video stays opaque bytes —
-    the strict-mode boundary the tests pin down."""
+    """Deterministic media table whose payloads are REAL files (PNG via
+    encode_png, WAV via encode_wav, Y4M video via encode_y4m — a moving
+    square, so the motion feature is physically checkable).  Every 6th
+    video stays an opaque mp4-tagged blob: the compressed-container
+    strict-mode boundary the tests pin down."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -332,10 +450,19 @@ def synthesize_real_media(spark, n: int = 60) -> DataFrame:
             payload, fmt = encode_wav(samples, 16000), "wav"
             w = h = None
             dur = int(nsamp / 16.0)
-        else:
+        elif i % 18 == 17:  # every 6th video: opaque compressed container
             payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mp4"
             w = h = None
             dur = 1000 * (1 + i % 30)
+        else:
+            t, side, fps = 4 + (i % 5), 16, 10
+            frames = np.full((t, side, side), 30, dtype=np.uint8)
+            for fr in range(t):
+                off = 0 if i % 9 == 8 else (2 * fr) % (side - 4)  # static 1-in-9
+                frames[fr, off : off + 4, off : off + 4] = 200
+            payload, fmt = encode_y4m(frames, (fps, 1)), "y4m"
+            w = h = side
+            dur = int(1000 * t / fps)
         rows.append(
             (
                 i,

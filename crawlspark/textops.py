@@ -284,7 +284,12 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col)] if block_col else [] ),
         F.xxhash64("sh_str").alias("sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # |shingles| per doc straight off the array — no second explode+shuffle
+    # over the shingle table (it used to be sh.groupBy(id).count(), which
+    # recomputed the whole exploded scan just to re-derive the array size).
+    sizes = df.select(
+        F.col(id_col), F.size(shingles_col(F.col(text_col), k)).alias("n_sh")
+    )
     keys = [block_col, "sh"] if block_col else ["sh"]
     ids_sorted = F.array_sort(F.collect_list(id_col))
     posting = sh.groupBy(*keys).agg(ids_sorted.alias("ids"))

@@ -124,12 +124,12 @@ def test_resize_nearest():
 
 
 def test_real_media_strict_decode(spark):
-    """PNG/WAV payloads decode for real even in strict mode; only video
-    (no stdlib container parser) raises."""
+    """PNG/WAV/Y4M payloads decode for real even in strict mode; only the
+    opaque compressed-container (mp4) subset raises."""
     media = multimodal.synthesize_real_media(spark, 30)
-    real = media.filter("kind != 'video'")
+    real = media.filter("meta_format != 'mp4'")
     rows = {r["media_id"]: r for r in multimodal.decode_features(real, strict=True).collect()}
-    assert len(rows) == 20
+    assert len(rows) == 29  # 30 minus media 17 (the opaque mp4)
     img0 = rows[0]  # media 0 is a 8x8 RGB PNG
     assert abs(img0["features"][0] - 8 / 4096.0) < 1e-6
     assert img0["features"][2] == 3 / 4.0
@@ -141,6 +141,53 @@ def test_real_media_strict_decode(spark):
 
     import pytest as _pytest
 
-    vids = media.filter("kind = 'video'")
+    vids = media.filter("meta_format = 'mp4'")
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_features(vids, strict=True).collect()
+
+
+def test_y4m_roundtrip_and_features():
+    import numpy as np
+
+    # byte-exact luma round-trip
+    frames = np.arange(3 * 8 * 8, dtype=np.uint8).reshape(3, 8, 8)
+    data = multimodal.encode_y4m(frames, (30, 1))
+    (num, den), back = multimodal.decode_y4m(data)
+    assert (num, den) == (30, 1) and back.shape == (3, 8, 8)
+    assert (back == frames).all()
+
+    # physical checks: duration, fps, dims, motion
+    t, side, fps = 10, 16, 10
+    static = np.full((t, side, side), 99, dtype=np.uint8)
+    f = multimodal._y4m_features(multimodal.encode_y4m(static, (fps, 1)))
+    assert abs(f[0] - (t / fps) / 60.0) < 1e-6  # 1 s clip
+    assert abs(f[1] - fps / 120.0) < 1e-6
+    assert abs(f[2] - side / 4096.0) < 1e-6 and abs(f[3] - side / 4096.0) < 1e-6
+    assert abs(f[5] - 99 / 255.0) < 1e-3  # mean luma
+    assert f[7] == 0.0  # static clip ⇒ zero motion
+
+    moving = static.copy()
+    for fr in range(t):
+        moving[fr, :, (fr * 2) % side] = 255
+    fm = multimodal._y4m_features(multimodal.encode_y4m(moving, (fps, 1)))
+    assert fm[7] > 0.0  # moving stripe ⇒ positive motion
+
+    # frame sampling bounds work on long clips
+    assert multimodal.sample_frames(static, 4).shape[0] == 4
+    assert (multimodal.sample_frames(static, 16) == static).all()
+
+
+def test_y4m_colorspaces():
+    import numpy as np
+
+    frames = np.full((2, 4, 4), 42, dtype=np.uint8)
+    y = frames.tobytes()
+    for csp, chroma_per_frame in (
+        ("C444", 2 * 16),
+        ("C422", 2 * 8),
+        ("Cmono", 0),
+    ):
+        head = f"YUV4MPEG2 W4 H4 F25:1 {csp}\n".encode()
+        body = b"".join(b"FRAME\n" + y[i * 16 : (i + 1) * 16] + b"\x80" * chroma_per_frame for i in range(2))
+        (_, _), back = multimodal.decode_y4m(head + body)
+        assert back.shape == (2, 4, 4) and (back == 42).all()
