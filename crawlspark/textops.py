@@ -151,16 +151,23 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by true shingle Jaccard."""
+    """Near-dup pairs: LSH candidates verified by true shingle Jaccard.
+
+    The verify side joins the raw ``text`` through the candidate pairs
+    FIRST and shingles only the joined rows — LSH keeps candidates a
+    vanishing fraction of the corpus, so re-shingling corpus-wide (the
+    obvious ``cand ⋈ shingled(df)`` shape) would dominate at scale.  The
+    candidate plan is consumed exactly once, so nothing re-runs the LSH.
+    """
     rows_per_band = n_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), k).alias("sh")
-    )
+    txt = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     return (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cand.join(txt.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta")), "id_a")
+        .join(txt.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb")), "id_b")
+        .withColumn("sh_a", shingles_col(F.col("_ta"), k))
+        .withColumn("sh_b", shingles_col(F.col("_tb"), k))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
