@@ -232,3 +232,89 @@ def tiers(hosts: DataFrame, n: int = 4) -> DataFrame:
     """F5: host-tier bucketing for scheduling fairness (ntile by backlog)."""
     w = Window.orderBy(F.desc("pending"), "host")
     return hosts.withColumn("tier", F.ntile(n).over(w))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(url, rank) — fixed-iteration PageRank over the link graph, the
+    iterative big sibling of :func:`indegree_priorities` (a page linked by
+    highly-linked pages outranks one linked by leaves).
+
+    Scale shape: ranks and out-degrees are (node, double) tables; each
+    iteration is one equi-join on ``src`` plus one hash-aggregate on
+    ``dst`` (both map-side combined, both shuffling only 16-byte rows —
+    never the edge payloads).  Dangling mass (nodes with no outlinks) is
+    folded back uniformly via a 1-row aggregate cross-joined in, keeping
+    the plan fully lazy; every ``checkpoint_every`` iterations the rank
+    table is materialized to truncate the iterative lineage (without it
+    the plan depth grows linearly and the optimizer re-walks it every
+    action).  Deterministic up to float summation order; tests compare
+    against a numpy reference at 1e-9 and analytic fixed points exactly.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).withColumnRenamed("node", "url")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # node, out_deg (0 for dangling), rank
+    base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    base = base.localCheckpoint(eager=True)
+    ranks = base.select("node", "out_deg", F.lit(1.0 / n_nodes).alias("rank"))
+    for it in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        ranks = (
+            ranks.select("node", "out_deg")
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_deg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("_dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias("url"), "rank")
+
+
+def pagerank_priorities(parsed: DataFrame, iterations: int = 10, scale: float = 1.0) -> DataFrame:
+    """(url, priority) for :func:`with_priorities` from PageRank over the
+    fetched pages' outlink graph (canonicalized with the engine's UDF so
+    keys match frontier urls exactly)."""
+    e = (
+        parsed.select(
+            urlnorm.canonicalize(F.col("url")).alias("src"),
+            F.explode("links").alias("raw_dst"),
+        )
+        .filter(F.col("raw_dst").isNotNull())
+        .select("src", urlnorm.canonicalize(F.col("raw_dst")).alias("dst"))
+        .filter(
+            F.col("src").isNotNull() & (F.col("src") != "")
+            & F.col("dst").isNotNull() & (F.col("dst") != "")
+        )
+    )
+    pr = pagerank(e, iterations=iterations)
+    return pr.select("url", (-F.log1p(F.col("rank") * 1e6) * F.lit(scale)).alias("priority"))

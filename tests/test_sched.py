@@ -152,3 +152,73 @@ def test_indegree_priorities_reorder_schedule(spark):
     got = sorted((r["host_rank"], r["url"]) for r in out.collect())
     # zzz (indegree 3) first, then aaa (indegree 1); mmm (neutral 0.0) cut
     assert got == [(1, "https://h.example/zzz"), (2, "https://h.example/aaa")]
+
+
+def test_pagerank_analytic_fixed_points(spark):
+    """Cycle graph => uniform ranks exactly; ranks always sum to 1."""
+    from crawlspark import sched
+
+    n = 5
+    cycle = spark.createDataFrame(
+        [(f"u{i}", f"u{(i + 1) % n}") for i in range(n)], "src string, dst string"
+    )
+    ranks = {r["url"]: r["rank"] for r in sched.pagerank(cycle, iterations=20).collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12  # uniform is the exact fixed point
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Same damping/dangling semantics as the standard power iteration."""
+    import numpy as np
+
+    from crawlspark import sched
+
+    rng = np.random.RandomState(7)
+    n, d, iters = 30, 0.85, 12
+    edges = sorted({(int(rng.randint(n)), int(rng.randint(n))) for _ in range(80)})
+    edf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    out_deg = np.zeros(m)
+    for a, _ in edges:
+        out_deg[idx[a]] += 1
+    r = np.full(m, 1.0 / m)
+    for _ in range(iters):
+        contrib = np.zeros(m)
+        for a, b in edges:
+            contrib[idx[b]] += r[idx[a]] / out_deg[idx[a]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) / m + d * (contrib + dangling / m)
+    got = {row["url"]: row["rank"] for row in sched.pagerank(edf, iterations=iters).collect()}
+    assert len(got) == m
+    for v in nodes:
+        assert abs(got[f"n{v}"] - r[idx[v]]) < 1e-9
+    # a hub-cited node outranks a leaf-cited one (the reason to use PR over indegree)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_priorities_feed_scheduler(spark):
+    """pagerank_priorities plugs into with_priorities: highly-ranked urls
+    sort earlier in the host order."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import sched
+
+    parsed = spark.createDataFrame(
+        [
+            ("http://a.example/1", ["http://hub.example/x", "http://b.example/2"]),
+            ("http://b.example/2", ["http://hub.example/x"]),
+            ("http://c.example/3", ["http://hub.example/x", "http://leaf.example/y"]),
+        ],
+        "url string, links array<string>",
+    )
+    prios = sched.pagerank_priorities(parsed, iterations=8)
+    rows = {r["url"]: r["priority"] for r in prios.collect()}
+    hub = [v for k, v in rows.items() if "hub.example" in k][0]
+    leaf = [v for k, v in rows.items() if "leaf.example" in k][0]
+    assert hub < leaf  # more negative priority = fetched earlier
