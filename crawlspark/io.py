@@ -8,6 +8,7 @@ functions — call sites never change (SURVEY.md §7 hard-part 5).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,6 +63,99 @@ def seeds_from_term(
     if limit is not None:
         out = out.orderBy("url").limit(limit)
     return out
+
+
+def parse_sitemap_one(body: bytes | None) -> list[dict]:
+    """One sitemap XML body → entry dicts (pure function; UDF maps it).
+
+    Handles the two shapes of www.sitemaps.org/protocol: ``<urlset>``
+    (page entries with optional lastmod/priority) and ``<sitemapindex>``
+    (refs to child sitemaps, flagged ``is_index_ref`` so the caller can
+    fetch-and-recurse).  Namespace-agnostic (matches local names — real
+    sitemaps use the 0.9 ns, many omit or typo it) and transparently
+    gunzips ``.xml.gz`` payloads (magic 1f 8b).  Malformed XML → [].
+    """
+    import gzip as _gzip
+    import xml.etree.ElementTree as _ET
+
+    if body is None:
+        return []
+    if body[:2] == b"\x1f\x8b":
+        try:
+            body = _gzip.decompress(body)
+        except OSError:
+            return []
+    try:
+        root = _ET.fromstring(body)
+    except _ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    is_index = local(root.tag) == "sitemapindex"
+    out: list[dict] = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        loc = lastmod = None
+        prio = None
+        for child in entry:
+            t = local(child.tag)
+            txt = (child.text or "").strip()
+            if t == "loc":
+                loc = txt or None
+            elif t == "lastmod":
+                lastmod = txt or None
+            elif t == "priority":
+                try:
+                    prio = float(txt)
+                except ValueError:
+                    prio = None
+        if loc:
+            out.append(
+                {
+                    "url": loc,
+                    "lastmod": lastmod,
+                    "priority": prio,
+                    "is_index_ref": is_index,
+                }
+            )
+    return out
+
+
+_SITEMAP_ENTRY = "array<struct<url:string,lastmod:string,priority:double,is_index_ref:boolean>>"
+
+
+def seeds_from_sitemaps(sitemaps: DataFrame, body_col: str = "body") -> DataFrame:
+    """A2c: seed derivation from sitemap.xml documents (the standard web
+    seed feed robots.txt points at).
+
+    Input: (…, ``body_col``: binary) sitemap payloads.  Output one row per
+    entry: ``(url, lastmod: timestamp, priority: double, is_index_ref)``,
+    parsed by an Arrow-batched pandas UDF and exploded JVM-side; lastmod
+    accepts W3C datetime (date-only or full) via two-pattern coalesce.
+    Rows with ``is_index_ref`` are child-sitemap pointers — feed their
+    fetched bodies back through this function to recurse an index.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_SITEMAP_ENTRY)
+    def _parse(bodies: pd.Series) -> pd.Series:
+        return bodies.map(parse_sitemap_one)
+
+    return (
+        sitemaps.select(F.explode(_parse(F.col(body_col))).alias("e"))
+        .select(
+            F.col("e.url").alias("url"),
+            F.coalesce(
+                F.try_to_timestamp(F.col("e.lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                F.try_to_timestamp(F.col("e.lastmod"), F.lit("yyyy-MM-dd")),
+            ).alias("lastmod"),
+            F.col("e.priority").alias("priority"),
+            F.col("e.is_index_ref").alias("is_index_ref"),
+        )
+    )
 
 
 def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:

@@ -105,3 +105,61 @@ def test_warc_skips_non_response_records(spark, tmp_path):
     pages = warc.read_warc(spark, str(tmp_path))
     rows = pages.collect()
     assert len(rows) == 1 and rows[0]["url"] == recs[0][0]
+
+
+def test_sitemap_parse_one_shapes():
+    from crawlspark import io as cio
+
+    urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://ex.com/a</loc><lastmod>2026-01-02</lastmod><priority>0.8</priority></url>
+  <url><loc>https://ex.com/b</loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    rows = cio.parse_sitemap_one(urlset)
+    assert [r["url"] for r in rows] == ["https://ex.com/a", "https://ex.com/b"]
+    assert rows[0]["priority"] == 0.8 and rows[0]["lastmod"] == "2026-01-02"
+    assert rows[1]["priority"] is None
+    assert all(not r["is_index_ref"] for r in rows)
+
+    index = b"""<sitemapindex>
+  <sitemap><loc>https://ex.com/sitemap1.xml</loc><lastmod>2026-02-03T04:05:06+00:00</lastmod></sitemap>
+</sitemapindex>"""
+    rows = cio.parse_sitemap_one(index)
+    assert rows == [
+        {"url": "https://ex.com/sitemap1.xml", "lastmod": "2026-02-03T04:05:06+00:00",
+         "priority": None, "is_index_ref": True}
+    ]
+
+    import gzip
+
+    assert cio.parse_sitemap_one(gzip.compress(urlset))[0]["url"] == "https://ex.com/a"
+    assert cio.parse_sitemap_one(b"not xml at all") == []
+    assert cio.parse_sitemap_one(None) == []
+
+
+def test_seeds_from_sitemaps_spark(spark):
+    import gzip
+
+    from crawlspark import io as cio
+
+    urlset = b"""<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://ex.com/a</loc><lastmod>2026-01-02</lastmod><priority>0.8</priority></url>
+  <url><loc>https://ex.com/b</loc><lastmod>2026-02-03T04:05:06+00:00</lastmod></url>
+</urlset>"""
+    index = b"<sitemapindex><sitemap><loc>https://ex.com/s1.xml.gz</loc></sitemap></sitemapindex>"
+    df = spark.createDataFrame(
+        [("https://ex.com/sitemap.xml", bytearray(gzip.compress(urlset))),
+         ("https://ex.com/sitemap_index.xml", bytearray(index))],
+        "sm_url string, body binary",
+    )
+    out = {r["url"]: r for r in cio.seeds_from_sitemaps(df).collect()}
+    assert set(out) == {"https://ex.com/a", "https://ex.com/b", "https://ex.com/s1.xml.gz"}
+    a = out["https://ex.com/a"]
+    assert a["priority"] == 0.8 and a["lastmod"] is not None and not a["is_index_ref"]
+    b = out["https://ex.com/b"]
+    assert b["lastmod"].year == 2026 and b["lastmod"].month == 2
+    assert out["https://ex.com/s1.xml.gz"]["is_index_ref"]
+    # seeds plug straight into the crawl's seed shape
+    seeds = cio.seeds_from_sitemaps(df).filter("not is_index_ref").select("url")
+    assert seeds.count() == 2
