@@ -318,3 +318,64 @@ def pagerank_priorities(parsed: DataFrame, iterations: int = 10, scale: float = 
     )
     pr = pagerank(e, iterations=iterations)
     return pr.select("url", (-F.log1p(F.col("rank") * 1e6) * F.lit(scale)).alias("priority"))
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    now_ts: float,
+    min_interval: float = 3600.0,
+    max_interval: float = 30 * 86400.0,
+    default_interval: float = 7 * 86400.0,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Adaptive recrawl scheduling from observed change rates (freshness).
+
+    Input: the per-url fetch history ``(url, fetch_ts: double epoch-s,
+    content_hash)`` accumulated across crawl runs.  Per url, a lag window
+    marks fetches whose content hash changed; the estimated change
+    interval is observed-timespan / n_changes (the Poisson MLE of the
+    mean time between changes under periodic sampling), clamped to
+    [min_interval, max_interval], defaulting for never-changed or
+    single-fetch urls.  ``next_due = last_ts + interval``; ``due`` is the
+    recrawl frontier at ``now_ts``.
+
+    Scale shape: one window + one hash-aggregate, both partitioned by
+    url (no skew — url is unique-ish by construction); everything is
+    built-in expressions, fully codegen'd, and the output is one row per
+    url regardless of history depth.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    marked = history.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("double").alias("ts"),
+        (
+            F.lag(hash_col).over(w).isNotNull()
+            & (F.col(hash_col) != F.lag(hash_col).over(w))
+        ).cast("int").alias("changed"),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("changed").alias("n_changes"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    est = (F.col("last_ts") - F.col("first_ts")) / F.nullif(
+        F.col("n_changes"), F.lit(0)
+    )
+    interval = F.least(
+        F.greatest(
+            F.coalesce(est, F.lit(float(default_interval))),
+            F.lit(float(min_interval)),
+        ),
+        F.lit(float(max_interval)),
+    )
+    return agg.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round(interval, 6).alias("recrawl_interval"),
+        F.round(F.col("last_ts") + interval, 6).alias("next_due"),
+        (F.col("last_ts") + interval <= F.lit(float(now_ts))).alias("due"),
+    )

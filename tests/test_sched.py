@@ -222,3 +222,63 @@ def test_pagerank_priorities_feed_scheduler(spark):
     hub = [v for k, v in rows.items() if "hub.example" in k][0]
     leaf = [v for k, v in rows.items() if "leaf.example" in k][0]
     assert hub < leaf  # more negative priority = fetched earlier
+
+
+def test_recrawl_schedule_matches_duckdb_oracle(spark):
+    """Freshness estimator vs the identical SQL in DuckDB, value-exact."""
+    import duckdb
+    import pandas as pd
+
+    from crawlspark import sched
+
+    rows = []
+    # u_static: fetched 4x, never changes -> default interval
+    for i, ts in enumerate([0.0, 100.0, 250.0, 400.0]):
+        rows.append(("http://a.ex/static", ts, "h0"))
+    # u_fast: changes every fetch (3 changes over 300 s -> est 100 s, clamped to min 60)
+    for i, ts in enumerate([0.0, 100.0, 200.0, 300.0]):
+        rows.append(("http://a.ex/fast", ts, f"h{i}"))
+    # u_slow: one change over 1000 s -> est 1000, clamped to max 500
+    for ts, h in [(0.0, "x"), (400.0, "x"), (1000.0, "y")]:
+        rows.append(("http://b.ex/slow", ts, h))
+    # u_once: single observation -> default
+    rows.append(("http://b.ex/once", 50.0, "z"))
+    hist = spark.createDataFrame(rows, "url string, fetch_ts double, content_hash string")
+
+    got = sched.recrawl_schedule(
+        hist, now_ts=500.0, min_interval=60.0, max_interval=500.0, default_interval=200.0
+    )
+    got_pdf = got.orderBy("url").toPandas()
+
+    hist_pdf = hist.toPandas()
+    oracle = duckdb.sql(
+        """
+        WITH h AS (
+          SELECT url, fetch_ts,
+                 lag(content_hash) OVER (PARTITION BY url ORDER BY fetch_ts) AS ph,
+                 content_hash
+          FROM hist_pdf
+        ), a AS (
+          SELECT url, count(*) AS n_fetches,
+                 sum(CASE WHEN ph IS NOT NULL AND content_hash <> ph THEN 1 ELSE 0 END) AS n_changes,
+                 min(fetch_ts) AS first_ts, max(fetch_ts) AS last_ts
+          FROM h GROUP BY url
+        )
+        SELECT url, n_fetches, n_changes,
+               round(least(greatest(coalesce((last_ts - first_ts) / nullif(n_changes, 0), 200.0), 60.0), 500.0), 6) AS recrawl_interval,
+               round(last_ts + least(greatest(coalesce((last_ts - first_ts) / nullif(n_changes, 0), 200.0), 60.0), 500.0), 6) AS next_due,
+               (last_ts + least(greatest(coalesce((last_ts - first_ts) / nullif(n_changes, 0), 200.0), 60.0), 500.0)) <= 500.0 AS due
+        FROM a ORDER BY url
+        """
+    ).df()
+    assert list(got_pdf.columns) == list(oracle.columns)
+    for col in got_pdf.columns:
+        assert list(got_pdf[col]) == list(oracle[col]), col
+
+    by_url = {r["url"]: r for _, r in got_pdf.iterrows()}
+    assert by_url["http://a.ex/static"]["recrawl_interval"] == 200.0  # default (never changed)
+    assert by_url["http://a.ex/fast"]["recrawl_interval"] == 100.0    # 300/3
+    assert by_url["http://b.ex/slow"]["recrawl_interval"] == 500.0    # 1000/1 clamped to max
+    assert by_url["http://b.ex/once"]["recrawl_interval"] == 200.0    # single fetch
+    assert bool(by_url["http://a.ex/fast"]["due"])                    # 300+100 <= 500
+    assert not bool(by_url["http://b.ex/slow"]["due"])                # 1000+500 > 500
