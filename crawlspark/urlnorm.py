@@ -180,3 +180,44 @@ def url_hash(col: Column) -> Column:
 def bucket(col_hash: Column, n_buckets: int) -> Column:
     """Stable bucket id in [0, n_buckets) from a signed 64-bit hash."""
     return F.pmod(col_hash, F.lit(n_buckets)).cast("int")
+
+
+def resolve_aliases(
+    urls: "DataFrame",
+    aliases: "DataFrame",
+    max_hops: int = 5,
+    url_col: str = "url",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_aliases: bool = True,
+) -> "DataFrame":
+    """Resolve urls through redirect/alias chains (3xx targets, rel=canonical,
+    mirror maps) to their final destination: ``(url, resolved_url, hops)``.
+
+    Each hop is one left equi-join against the ``(src, dst)`` alias table;
+    the loop runs a FIXED ``max_hops`` times (deterministic plan, no
+    driver-side convergence probing), which also terminates redirect
+    CYCLES — a url still rewriting at the cap keeps its last value with
+    ``hops = max_hops``, a sentinel callers can filter or log.  The alias
+    table broadcasts by default (redirect maps are thin next to a
+    frontier); pass ``broadcast_aliases=False`` to let AQE pick a
+    shuffle join when the map itself is huge.
+    """
+    a = aliases.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    if broadcast_aliases:
+        a = F.broadcast(a)
+    out = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("resolved_url"),
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(max_hops):
+        out = (
+            out.join(a, out.resolved_url == a.__src, "left")
+            .select(
+                "url",
+                F.coalesce("__dst", "resolved_url").alias("resolved_url"),
+                (F.col("hops") + F.when(F.col("__dst").isNotNull(), 1).otherwise(0)).alias("hops"),
+            )
+        )
+    return out

@@ -90,3 +90,52 @@ def test_host_col_matches_on_canonical(spark):
     ]
     want = [host_one(c) for c in canon]
     assert got == want
+
+
+def test_resolve_aliases_chains_cycles_and_identity(spark):
+    from crawlspark import urlnorm
+
+    aliases = spark.createDataFrame(
+        [
+            ("http://a.ex/1", "http://a.ex/2"),   # chain 1 of 2
+            ("http://a.ex/2", "http://a.ex/3"),   # chain 2 of 2
+            ("http://c.ex/x", "http://c.ex/y"),   # 2-cycle
+            ("http://c.ex/y", "http://c.ex/x"),
+            ("http://m.ex/old", "http://m.ex/new"),  # single hop
+        ],
+        "src string, dst string",
+    )
+    urls = spark.createDataFrame(
+        [(u,) for u in ["http://a.ex/1", "http://c.ex/x", "http://m.ex/old", "http://plain.ex/"]],
+        "url string",
+    )
+    got = {r["url"]: r for r in urlnorm.resolve_aliases(urls, aliases, max_hops=5).collect()}
+    assert got["http://a.ex/1"]["resolved_url"] == "http://a.ex/3"
+    assert got["http://a.ex/1"]["hops"] == 2
+    assert got["http://m.ex/old"]["resolved_url"] == "http://m.ex/new"
+    assert got["http://m.ex/old"]["hops"] == 1
+    assert got["http://plain.ex/"]["resolved_url"] == "http://plain.ex/"
+    assert got["http://plain.ex/"]["hops"] == 0
+    # cycle: still rewriting at the cap -> hops == max_hops sentinel
+    assert got["http://c.ex/x"]["hops"] == 5
+    assert got["http://c.ex/x"]["resolved_url"] in ("http://c.ex/x", "http://c.ex/y")
+
+    # python oracle on a random alias forest
+    import random
+
+    rng = random.Random(3)
+    nodes = [f"http://r.ex/{i}" for i in range(40)]
+    amap = {}
+    for i in range(0, 30):  # forest edges only (i -> j with j > i: acyclic)
+        j = rng.randint(i + 1, 39)
+        amap[nodes[i]] = nodes[j]
+    adf = spark.createDataFrame(list(amap.items()), "src string, dst string")
+    udf_ = spark.createDataFrame([(n,) for n in nodes], "url string")
+    res = {r["url"]: (r["resolved_url"], r["hops"]) for r in
+           urlnorm.resolve_aliases(udf_, adf, max_hops=8).collect()}
+    for n in nodes:
+        cur, hops = n, 0
+        while cur in amap and hops < 8:
+            cur = amap[cur]
+            hops += 1
+        assert res[n] == (cur, hops), n
