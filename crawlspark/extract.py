@@ -26,7 +26,13 @@ from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _SKIP_TAGS = {"script", "style"}
 _XML_HINT = re.compile(rb"^\s*<\?xml|<PubmedArticle|<PubmedArticleSet", re.I)
@@ -42,13 +48,24 @@ def decode_bytes(b: bytes | None) -> str | None:
 
 
 class _TextAndLinks(HTMLParser):
-    """Single-pass collector of title/body tokens and <a href> targets."""
+    """Single-pass collector of title/body tokens and <a href> targets.
 
-    def __init__(self) -> None:
+    ``respect_robots_directives=True`` adds RFC-9309-adjacent in-page link
+    semantics: ``<a rel="... nofollow ...">`` hrefs are skipped and a
+    ``<meta name="robots" content="... nofollow ...">`` suppresses every
+    link on the page (applied at ``close()`` so a late meta still wins);
+    ``noindex`` is surfaced as a flag for the caller.  Default False keeps
+    the byte-identical extraction contract pinned by the goldens.
+    """
+
+    def __init__(self, respect_robots_directives: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self._tokens_scoped: list[str] = []  # title/body only
         self._tokens_all: list[str] = []  # fallback when no <body> present
         self.links: list[str] = []
+        self.meta_nofollow = False
+        self.meta_noindex = False
+        self._respect = respect_robots_directives
         self._skip_depth = 0
         self._in_title = False
         self._in_body = False
@@ -66,10 +83,30 @@ class _TextAndLinks(HTMLParser):
         elif tag == "body":
             self._in_body = True
             self._saw_body_tag = True
+        elif tag == "meta":
+            a = {k: (v or "") for k, v in attrs}
+            if a.get("name", "").lower() == "robots":
+                directives = {
+                    d.strip().lower() for d in a.get("content", "").split(",")
+                }
+                self.meta_nofollow |= "nofollow" in directives or "none" in directives
+                self.meta_noindex |= "noindex" in directives or "none" in directives
         if tag == "a":
+            hrefs = []
+            rel = None
             for k, v in attrs:
                 if k == "href" and v:
-                    self.links.append(v)
+                    hrefs.append(v)
+                elif k == "rel" and v:
+                    rel = v
+            if self._respect and rel and "nofollow" in rel.lower().split():
+                return
+            self.links.extend(hrefs)
+
+    def close(self) -> None:
+        super().close()
+        if self._respect and self.meta_nofollow:
+            self.links = []
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS and self._skip_depth > 0:
@@ -205,12 +242,63 @@ def text_links_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 text_links_udf = text_links_udf.asNondeterministic()
 
 
+def extract_links_polite_one(
+    html_bytes: bytes | None, base_url: str | None
+) -> tuple[list[str], bool, bool]:
+    """Outlinks honoring in-page robots directives: rel=nofollow anchors
+    skipped, meta-robots nofollow clears the page's links; returns
+    ``(links, meta_nofollow, meta_noindex)`` so the crawl loop can also
+    drop noindex'd pages from the text sink."""
+    if html_bytes is None:
+        return [], False, False
+    s = decode_bytes(html_bytes)
+    if s is None or _XML_HINT.search(html_bytes[:4096]):
+        return [], False, False
+    p = _TextAndLinks(respect_robots_directives=True)
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    links = [urljoin(base_url, h) for h in p.links] if base_url else list(p.links)
+    return links, p.meta_nofollow, p.meta_noindex
+
+
+_LINKS_POLITE_TYPE = StructType(
+    [
+        StructField("links", ArrayType(StringType()), True),
+        StructField("meta_nofollow", BooleanType(), True),
+        StructField("meta_noindex", BooleanType(), True),
+    ]
+)
+
+
+@pandas_udf(_LINKS_POLITE_TYPE)
+def links_polite_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """J2 with in-page robots semantics (opt-in; the default link path is
+    byte-pinned by goldens and ignores directives like the reference)."""
+    triples = [extract_links_polite_one(h, u) for h, u in zip(html, url)]
+    return pd.DataFrame(
+        {
+            "links": [t[0] for t in triples],
+            "meta_nofollow": [t[1] for t in triples],
+            "meta_noindex": [t[2] for t in triples],
+        },
+        index=html.index,
+    )
+
+
+links_polite_udf = links_polite_udf.asNondeterministic()
+
+
 __all__ = [
     "text_udf",
     "links_udf",
     "text_links_udf",
+    "links_polite_udf",
     "extract_text_one",
     "extract_links_one",
     "extract_both_one",
+    "extract_links_polite_one",
     "decode_bytes",
 ]

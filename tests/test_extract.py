@@ -133,3 +133,52 @@ def test_fused_udf_identical_to_separate(spark):
     for r in got:
         assert r["t_fused"] == r["t_sep"], r["url"]
         assert list(r["l_fused"] or []) == list(r["l_sep"] or []), r["url"]
+
+
+def test_nofollow_and_meta_robots_directives():
+    from crawlspark import extract
+
+    html = b"""<html><head>
+<title>T</title>
+</head><body>
+<a href="/follow1">f1</a>
+<a rel="nofollow" href="/skip1">s1</a>
+<a rel="external NOFOLLOW" href="/skip2">s2</a>
+<a rel="external" href="/follow2">f2</a>
+</body></html>"""
+    # default path unchanged: every href collected (byte-pinned contract)
+    assert extract.extract_links_one(html, "http://e.x/") == [
+        "http://e.x/follow1", "http://e.x/skip1", "http://e.x/skip2", "http://e.x/follow2",
+    ]
+    links, nf, ni = extract.extract_links_polite_one(html, "http://e.x/")
+    assert links == ["http://e.x/follow1", "http://e.x/follow2"]
+    assert not nf and not ni
+
+    meta = b"""<html><head><meta name="ROBOTS" content="noindex, NOFOLLOW"></head>
+<body><a href="/x">x</a></body></html>"""
+    links, nf, ni = extract.extract_links_polite_one(meta, "http://e.x/")
+    assert links == [] and nf and ni
+    # meta "none" = noindex,nofollow
+    none = b'<html><head><meta name="robots" content="none"></head><body><a href="/y">y</a></body></html>'
+    links, nf, ni = extract.extract_links_polite_one(none, None)
+    assert links == [] and nf and ni
+    # default path ignores the meta
+    assert extract.extract_links_one(meta, "http://e.x/") == ["http://e.x/x"]
+
+
+def test_links_polite_udf_spark(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark import extract
+
+    rows = [
+        ("http://e.x/a", bytearray(b'<html><body><a href="/p">p</a><a rel="nofollow" href="/q">q</a></body></html>')),
+        ("http://e.x/b", bytearray(b'<html><head><meta name="robots" content="nofollow"></head><body><a href="/r">r</a></body></html>')),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in df.select(
+        "url", extract.links_polite_udf(F.col("html"), F.col("url")).alias("o")
+    ).select("url", "o.*").collect()}
+    assert out["http://e.x/a"]["links"] == ["http://e.x/p"]
+    assert not out["http://e.x/a"]["meta_nofollow"]
+    assert out["http://e.x/b"]["links"] == [] and out["http://e.x/b"]["meta_nofollow"]
