@@ -445,3 +445,90 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         text_key(F.col(text_col)).alias("fp_md5"),
         F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")).alias("fp_xx64"),
     )
+
+
+# ---------------------------------------------------------- corpus assembly
+
+def pack_corpus(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budgeted corpus selection: keep the best-first prefix
+    of documents whose running token total fits ``budget_tokens`` (per
+    ``group_col`` when given — per-language/source budgets are how real
+    pretraining mixes are specified).
+
+    Order is ``quality_col`` desc (nulls last) then ``id_col`` asc, so the
+    selection is deterministic.  One window cumsum per group; with no
+    ``group_col`` the window is single-partition — fine for bounded doc
+    sets, pass a group at corpus scale (same contract as
+    ngram_jaccard_pairs' block_col).
+    """
+    tokens = F.size(words_col(F.col(text_col))).alias("n_tokens")
+    base = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        tokens,
+        *(
+            [F.col(quality_col).alias("_qual")]
+            if quality_col
+            else [F.lit(0.0).alias("_qual")]
+        ),
+    )
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.desc_nulls_last("_qual"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .drop("_qual")
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    k: int = 8,
+    corpus_text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set contamination screen: per eval document, the fraction of
+    its word-k-shingles (k=8 is the usual contamination n-gram) that
+    appear ANYWHERE in the training corpus.
+
+    Scale shape: the corpus side is reduced to DISTINCT 64-bit shingle
+    hashes before the join (drops doc ids and multiplicity — the screen
+    only asks "seen anywhere?"), so the equi-join on the hash is against
+    the smallest possible right side and never fans out; eval docs are
+    few, the output is one row per eval doc.
+    """
+    ev = evalset.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(shingles_col(F.col(eval_text_col), k)).alias("sh_str"),
+    ).select("eval_id", F.xxhash64("sh_str").alias("sh"))
+    corp = (
+        corpus.select(F.explode(shingles_col(F.col(corpus_text_col), k)).alias("sh_str"))
+        .select(F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        ev.join(corp, "sh", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_matched") / F.col("n_shingles"), 6),
+        )
+    )

@@ -100,3 +100,86 @@ def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = {r["doc_id"]: r["fp_md5"] for r in textops.fingerprint(df).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_pack_corpus_budget_and_order(spark):
+    from crawlspark import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c d", 0.9),     # 4 tokens, best
+            (2, "en", "e f g", 0.8),       # 3 tokens
+            (3, "en", "h i j k l", 0.7),   # 5 tokens - would blow the budget
+            (4, "en", "m n", 0.6),         # 2 tokens - but greedy prefix stops at 3
+            (5, "fr", "p q r s t u", 0.9), # fr: 6 tokens
+            (6, "fr", "v w", None),        # null quality sorts last
+        ],
+        "doc_id long, lang string, text string, quality double",
+    )
+    out = textops.pack_corpus(docs, 8, group_col="lang", quality_col="quality")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # en: 1 (cum 4), 2 (cum 7), 3 would hit 12 > 8 -> excluded; 4 after 3 in
+    # order => cum 14 > 8 -> excluded (greedy PREFIX, not knapsack).
+    # fr: 5 (cum 6), then null-quality 6 sorts last and lands exactly on 8.
+    assert set(rows) == {1, 2, 5, 6}
+    assert rows[2]["cum_tokens"] == 7
+    assert rows[6]["cum_tokens"] == 8
+
+    # DuckDB oracle: identical window SQL
+    import duckdb
+
+    pdf = docs.toPandas()
+    oracle = duckdb.sql(
+        """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 quality
+          FROM pdf
+        )
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC NULLS LAST, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t QUALIFY cum_tokens <= 8 ORDER BY doc_id
+        """
+    ).df()
+    got = out.orderBy("doc_id").toPandas()
+    assert list(got["doc_id"]) == list(oracle["doc_id"])
+    assert list(got["cum_tokens"]) == list(oracle["cum_tokens"])
+
+
+def test_contamination_screen(spark):
+    from crawlspark import textops
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated corpus document text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),  # fully contained
+            (101, "zz yy xx ww vv uu tt ss rr qq"),                       # disjoint
+            (102, "the quick brown fox jumps over the lazy cat instead"), # partial
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["eval_id"]: r for r in textops.contamination(corpus, evalset, k=4).collect()}
+    assert out[100]["contamination"] == 1.0
+    assert out[101]["contamination"] == 0.0
+    assert 0.0 < out[102]["contamination"] < 1.0
+
+    # python oracle for the partial case
+    def shingles(t, k=4):
+        w = t.split()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    corp_sh = shingles("the quick brown fox jumps over the lazy dog today") | shingles(
+        "completely unrelated corpus document text here now"
+    )
+    ev_sh = shingles("the quick brown fox jumps over the lazy cat instead")
+    expect = round(len(ev_sh & corp_sh) / len(ev_sh), 6)
+    assert out[102]["contamination"] == expect
+    assert out[102]["n_shingles"] == len(ev_sh)
