@@ -80,7 +80,11 @@ def budget_col(round_seconds: float, max_budget: int) -> Column:
 # ------------------------------------------------------ robots.txt parsing
 
 def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
-    """Parse one raw robots.txt body into {rules, crawl_delay}.
+    """Parse one raw robots.txt body into {rules, crawl_delay, sitemaps}.
+
+    ``Sitemap:`` lines are host-global (agent-independent) per RFC 9309
+    and are collected regardless of group selection — feed them to
+    ``io.seeds_from_sitemaps`` to derive seeds.
 
     Classic REP grammar (RFC 9309, simplified): ``field: value`` lines,
     ``#`` comments, groups of one-or-more ``User-agent`` lines followed by
@@ -95,6 +99,7 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
     """
     agent_l = agent.lower()
     groups: list[dict] = []  # {"agents": [..], "rules": [..], "delay": float|None}
+    sitemaps: list[str] = []
     cur: dict | None = None
     in_agent_run = False  # consecutive User-agent lines extend one group
     for raw_line in (txt or "").lstrip("﻿").splitlines():
@@ -104,6 +109,12 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            # RFC 9309 §2.3-adjacent: Sitemap is host-global, group-
+            # independent, and transparent (does not break an agent run)
+            if value:
+                sitemaps.append(value)
+            continue
         if field == "user-agent":
             if not in_agent_run:
                 cur = {"agents": [], "rules": [], "delay": None}
@@ -142,8 +153,12 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
             if alen > best_len:
                 best, best_len = g, alen
     if best is None:
-        return {"rules": [], "crawl_delay": None}
-    return {"rules": best["rules"], "crawl_delay": best["delay"]}
+        return {"rules": [], "crawl_delay": None, "sitemaps": sitemaps}
+    return {
+        "rules": best["rules"],
+        "crawl_delay": best["delay"],
+        "sitemaps": sitemaps,
+    }
 
 
 _ROBOTS_STRUCT = StructType(
@@ -205,6 +220,23 @@ def robots_from_text(
         "host",
         F.col("__p.rules").alias("rules"),
         F.col("__p.crawl_delay").alias("crawl_delay"),
+    )
+
+
+def robots_sitemaps(
+    raw: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → (host, sitemap_url): the Sitemap: lines of each
+    host's robots.txt — the standard discovery path into
+    ``io.seeds_from_sitemaps`` (fetch these urls, feed the bodies back)."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sitemaps(bodies: pd.Series) -> pd.Series:
+        return bodies.map(lambda b: parse_robots_one(b)["sitemaps"])
+
+    return raw.select(
+        F.col(host_col).alias("host"),
+        F.explode(_sitemaps(F.col(body_col))).alias("sitemap_url"),
     )
 
 

@@ -72,8 +72,49 @@ def test_messy_input():
 
 
 def test_empty_and_none_bodies():
-    assert polite.parse_robots_one(None) == {"rules": [], "crawl_delay": None}
-    assert polite.parse_robots_one("") == {"rules": [], "crawl_delay": None}
+    empty = {"rules": [], "crawl_delay": None, "sitemaps": []}
+    assert polite.parse_robots_one(None) == empty
+    assert polite.parse_robots_one("") == empty
+
+
+SITEMAP_BODY = """\
+User-agent: *
+Disallow: /a/
+Sitemap: https://ex.com/sitemap.xml
+User-agent: crawlspark
+Sitemap: https://ex.com/sitemap2.xml.gz
+Disallow: /b/
+Sitemap:
+"""
+
+
+def test_sitemap_lines_are_global_and_run_transparent():
+    # collected for every agent, regardless of which group is selected,
+    # and a Sitemap line between two User-agent lines must not split the run
+    for agent in ("crawlspark", "nobody"):
+        p = polite.parse_robots_one(SITEMAP_BODY, agent=agent)
+        assert p["sitemaps"] == [
+            "https://ex.com/sitemap.xml",
+            "https://ex.com/sitemap2.xml.gz",
+        ]
+    assert polite.parse_robots_one(SITEMAP_BODY, agent="crawlspark")["rules"] == [
+        {"pattern": "/b/", "allow": False}
+    ]
+
+
+def test_robots_sitemaps_spark(spark):
+    raw = spark.createDataFrame(
+        [("h1.example", SITEMAP_BODY), ("h2.example", "User-agent: *\n"), ("h3.example", None)],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in polite.robots_sitemaps(raw).collect()
+    )
+    assert got == [
+        ("h1.example", "https://ex.com/sitemap.xml"),
+        ("h1.example", "https://ex.com/sitemap2.xml.gz"),
+    ]
 
 
 def test_robots_from_text_roundtrip(spark):
@@ -113,7 +154,8 @@ from hypothesis import strategies as st
 def test_parse_robots_never_raises(body, agent):
     """Total function over arbitrary junk: always a well-shaped dict."""
     p = polite.parse_robots_one(body, agent=agent)
-    assert set(p) == {"rules", "crawl_delay"}
+    assert set(p) == {"rules", "crawl_delay", "sitemaps"}
+    assert all(isinstance(s, str) for s in p["sitemaps"])
     for r in p["rules"]:
         assert isinstance(r["pattern"], str) and isinstance(r["allow"], bool)
         assert "*" not in r["pattern"] and "$" not in r["pattern"]
