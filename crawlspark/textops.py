@@ -532,3 +532,46 @@ def contamination(
             F.round(F.col("n_matched") / F.col("n_shingles"), 6),
         )
     )
+
+
+# ------------------------------------------------- near-dup cluster dedup
+
+def neardup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """The final step of near-dup dedup: collapse a *pair* table (from
+    :func:`minhash_dedup_pairs` / :func:`simhash_neardup_pairs` /
+    ``simsearch.embedding_neardup_pairs``) into its transitive clusters
+    and keep ONE canonical document per cluster.
+
+    Near-duplication is not transitive (A~B, B~C need not mean A~C), but
+    every production pipeline dedups the transitive closure anyway —
+    keeping both A and C would keep two documents that each near-match B.
+    Clusters come from ``graph.connected_components`` (large-star/small-
+    star — O(log^2 n) rounds, no diameter dependence); the canonical pick
+    is ``quality_col`` desc (nulls last) then ``id_col`` asc within each
+    cluster, so the survivor set is deterministic.  Documents in no pair
+    pass through untouched (left join, no per-doc shuffle beyond the
+    cluster members themselves).
+    """
+    from crawlspark import graph  # local import: graph is optional machinery
+
+    comp = graph.connected_components(pairs).withColumnRenamed("node", id_col)
+    member = df.join(comp, id_col, "left")
+    # window only the clustered rows — a partitionBy("component") over the
+    # whole corpus would heap every unpaired doc into one NULL partition
+    untouched = member.filter(F.col("component").isNull()).drop("component")
+    order = (
+        [F.desc_nulls_last(quality_col)] if quality_col else []
+    ) + [F.col(id_col)]
+    w = Window.partitionBy("component").orderBy(*order)
+    survivors = (
+        member.filter(F.col("component").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )
+    return untouched.unionByName(survivors)

@@ -183,3 +183,51 @@ def test_contamination_screen(spark):
     expect = round(len(ev_sh & corp_sh) / len(ev_sh), 6)
     assert out[102]["contamination"] == expect
     assert out[102]["n_shingles"] == len(ev_sh)
+
+
+def test_neardup_dedup_transitive_clusters_quality_canonical(spark):
+    # pairs: {1~2, 2~3} one cluster, {10~11} another; 99 unpaired
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.5),
+            (2, "b", 0.9),
+            (3, "c", 0.9),
+            (10, "d", None),
+            (11, "e", 0.1),
+            (99, "f", 0.0),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in textops.neardup_dedup(df, pairs, quality_col="quality").collect()
+    )
+    # cluster {1,2,3}: quality tie 2 vs 3 at 0.9 → min id 2; cluster
+    # {10,11}: null quality sorts last → 11; 99 passes through
+    assert kept == [2, 11, 99]
+
+
+def test_neardup_dedup_no_quality_min_id(spark):
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(5, 3), (3, 4)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in textops.neardup_dedup(df, pairs).collect())
+    assert kept == [0, 1, 2, 3]
+
+
+def test_neardup_dedup_end_to_end_with_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    docs = [
+        (1, base),
+        (2, base + "tail tweak"),            # near-dup of 1
+        (3, base.replace("quick", "rapid")),  # near-dup of 1
+        (4, "an entirely different document about spark shuffles " * 8),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = textops.minhash_dedup_pairs(df, threshold=0.5)
+    out = sorted(r["doc_id"] for r in textops.neardup_dedup(df, pairs).collect())
+    assert out == [1, 4]
