@@ -575,3 +575,133 @@ def neardup_dedup(
         .drop("__rn", "component")
     )
     return untouched.unionByName(survivors)
+
+
+# ------------------------------------------------- deterministic sampling
+
+def sample_bernoulli(
+    df: DataFrame, fraction: float, seed: int = 0, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose 64-bit key hash
+    falls under ``fraction`` of the hash space.
+
+    Unlike ``df.sample`` (per-partition RNG — the selected set changes
+    under repartitioning, task retries, and AQE re-plans), the decision
+    is a pure function of (key, seed): the same corpus yields the same
+    sample on any cluster layout, and samples NEST — the f=0.01 sample is
+    a subset of the f=0.1 sample at the same seed (threshold comparison
+    on one hash), which is exactly what staged corpus-QA workflows need.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    # xxhash64 ∈ [-2^63, 2^63); shift to unsigned-uniform via /2^64 + 0.5
+    u = F.xxhash64(F.col(key_col), F.lit(int(seed))) / F.lit(2.0**64) + F.lit(0.5)
+    return df.filter(u < F.lit(float(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per ``group_col`` value, chosen by
+    hash order — a deterministic stratified sample (per-language /
+    per-host QA draws).  One window per group; groups are the partition
+    keys so the sort is bounded by group size, never global.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(F.col(key_col), F.lit(int(seed))), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(k)))
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------- repetition filtering
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics in the Gopher/MassiveText family —
+    the standard signals for dropping boilerplate- and spam-repetitive
+    documents from a pretraining corpus:
+
+    - ``dup_line_frac``: fraction of (non-empty, trimmed) line
+      occurrences whose content appears more than once in the document;
+    - ``dup_line_char_frac``: same, weighted by line length in chars;
+    - ``top_bigram_char_frac``: word-chars covered by the most frequent
+      word-bigram (count × bigram word-chars / total word-chars).
+
+    Scale shape: two explode + hash-aggregate passes keyed by
+    (doc, line) / (doc, bigram) — map-side combined, well distributed
+    (no per-doc window, no collect); everything else is built-in array
+    expressions inside codegen.  Documents with no lines / fewer than two
+    words get 0.0 for the affected metrics.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    w = words_col(F.col(text_col))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        lines.alias("_lines"),
+        bigrams.alias("_bigrams"),
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).alias("_word_chars"),
+    )
+
+    line_stats = (
+        base.select(id_col, F.explode("_lines").alias("_l"))
+        .groupBy(id_col, "_l")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n_lines"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)).alias("_dup_lines"),
+            F.sum(F.col("_c") * F.length("_l")).alias("_line_chars"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_l")).otherwise(0)
+            ).alias("_dup_line_chars"),
+        )
+    )
+    bigram_top = (
+        base.select(id_col, F.explode("_bigrams").alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        # ties on count resolve to the longer bigram (max struct order) —
+        # deterministic, and the conservative (larger-fraction) choice
+        .agg(F.max(F.struct(F.col("_c"), (F.length("_bg") - 1).alias("_len"))).alias("_top"))
+        .select(id_col, F.col("_top._c").alias("_top_c"), F.col("_top._len").alias("_top_len"))
+    )
+    frac = lambda num, den: F.coalesce(  # noqa: E731
+        F.when(F.coalesce(den, F.lit(0)) > 0, F.round(num / den, 6)), F.lit(0.0)
+    )
+    return (
+        base.select(id_col, "_word_chars")
+        .join(line_stats, id_col, "left")
+        .join(bigram_top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_lines", F.lit(0)).alias("n_lines"),
+            frac(F.col("_dup_lines"), F.col("_n_lines")).alias("dup_line_frac"),
+            frac(F.col("_dup_line_chars"), F.col("_line_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            frac(F.col("_top_c") * F.col("_top_len"), F.col("_word_chars")).alias(
+                "top_bigram_char_frac"
+            ),
+        )
+    )

@@ -231,3 +231,96 @@ def test_neardup_dedup_end_to_end_with_minhash(spark):
     pairs = textops.minhash_dedup_pairs(df, threshold=0.5)
     out = sorted(r["doc_id"] for r in textops.neardup_dedup(df, pairs).collect())
     assert out == [1, 4]
+
+
+def test_sample_bernoulli_deterministic_nested_and_layout_free(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in textops.sample_bernoulli(df, 0.1, seed=7).collect()}
+    # same selection regardless of partition layout (df.sample would differ)
+    s10b = {
+        r["doc_id"]
+        for r in textops.sample_bernoulli(df.repartition(13), 0.1, seed=7).collect()
+    }
+    assert s10 == s10b
+    # fraction is approximately honored
+    assert 0.07 < len(s10) / 4000 < 0.13
+    # nesting: smaller fraction is a subset of the larger, same seed
+    s02 = {r["doc_id"] for r in textops.sample_bernoulli(df, 0.02, seed=7).collect()}
+    assert s02 <= s10
+    # different seed draws a different set
+    s10c = {r["doc_id"] for r in textops.sample_bernoulli(df, 0.1, seed=8).collect()}
+    assert s10 != s10c
+    # edge fractions
+    assert textops.sample_bernoulli(df, 0.0).count() == 0
+    assert textops.sample_bernoulli(df, 1.0).count() == 4000
+
+
+def test_sample_stratified_exact_k_per_group(spark):
+    rows = [(g * 100 + i, f"g{g}") for g in range(3) for i in range(g * 5 + 2)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textops.sample_stratified(df, k=4, group_col="lang", seed=1)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"g0": 2, "g1": 4, "g2": 4}  # min(k, |group|)
+    # deterministic across runs and layouts
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in textops.sample_stratified(
+            df.repartition(7), k=4, group_col="lang", seed=1
+        ).collect()
+    )
+    assert a == b
+
+
+def _rep_oracle(text):
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    from collections import Counter
+
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_line_frac = (
+        sum(c for c in lc.values() if c > 1) / n_lines if n_lines else 0.0
+    )
+    line_chars = sum(len(ln) for ln in lines)
+    dup_line_chars = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+    dup_line_char_frac = dup_line_chars / line_chars if line_chars else 0.0
+    words = text.split()
+    word_chars = sum(len(w) for w in words)
+    bigrams = Counter(
+        " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+    )
+    if bigrams and word_chars:
+        top_c = max(bigrams.values())
+        top_len = max(len(bg) - 1 for bg, c in bigrams.items() if c == top_c)
+        top_bigram_char_frac = top_c * top_len / word_chars
+    else:
+        top_bigram_char_frac = 0.0
+    return (
+        round(dup_line_frac, 6),
+        round(dup_line_char_frac, 6),
+        round(top_bigram_char_frac, 6),
+        n_lines,
+    )
+
+
+def test_repetition_stats_vs_python_oracle(spark):
+    docs = [
+        (1, "buy now\nbuy now\nunique line here\nbuy now"),
+        (2, "clean prose with no repeated lines\nanother fine line"),
+        (3, "spam spam spam spam spam wonderful spam"),
+        (4, ""),
+        (5, "one"),
+        (6, "a b\n\n  \na b\nxyz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        dl, dlc, tb, nl = _rep_oracle(text)
+        r = got[doc_id]
+        assert r["n_lines"] == nl, doc_id
+        assert r["dup_line_frac"] == dl, doc_id
+        assert r["dup_line_char_frac"] == dlc, doc_id
+        assert r["top_bigram_char_frac"] == tb, doc_id
