@@ -158,6 +158,62 @@ def seeds_from_sitemaps(sitemaps: DataFrame, body_col: str = "body") -> DataFram
     )
 
 
+def discover_seeds_from_robots(
+    robots_raw: DataFrame,
+    pages: DataFrame,
+    max_index_depth: int = 3,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """A2d: the standard web seed-discovery chain, end to end — robots.txt
+    ``Sitemap:`` lines → sitemap payloads looked up in the pages corpus →
+    ``<urlset>`` entries as seeds, recursing ``<sitemapindex>`` refs up to
+    ``max_index_depth`` levels (real indexes are 1-2 deep).
+
+    Output: (url, lastmod, priority) — feed ``url`` to the crawl seed list
+    and (url, priority) to ``sched.with_priorities``.
+
+    Scale shape: the wanted-sitemap side is thin (urls only) and broadcast,
+    so the fat ``html`` column never shuffles (same discipline as
+    fetch.lookup_latest); each recursion level re-joins only the NEW index
+    refs (visited urls are anti-joined out, so ref cycles terminate early).
+    """
+    from . import polite
+
+    spark = robots_raw.sparkSession
+    empty = spark.createDataFrame([], "url string, lastmod timestamp, priority double")
+    wanted = (
+        polite.robots_sitemaps(robots_raw, host_col=host_col, body_col=body_col)
+        .select(F.col("sitemap_url").alias("url"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    page_bodies = pages.select("url", "warc_ts", "html")
+    seeds = empty
+    visited = wanted
+    for _ in range(max_index_depth):
+        if not wanted.take(1):
+            break
+        latest = (
+            page_bodies.join(F.broadcast(wanted), "url")
+            .groupBy("url")
+            .agg(F.max_by("html", "warc_ts").alias("body"))
+        )
+        entries = seeds_from_sitemaps(latest, body_col="body").localCheckpoint(eager=True)
+        seeds = seeds.unionByName(
+            entries.filter(~F.col("is_index_ref")).select("url", "lastmod", "priority")
+        )
+        wanted = (
+            entries.filter(F.col("is_index_ref"))
+            .select("url")
+            .distinct()
+            .join(visited, "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(wanted)
+    return seeds.distinct()
+
+
 def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     """A6: extracted-text corpus sink (url, text)."""
     out = df.select("url", "text")

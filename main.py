@@ -39,6 +39,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "polite.robots_from_text",
     )
     p.add_argument("--agent", default="crawlspark", help="user-agent for robots.txt group matching")
+    p.add_argument(
+        "--discover-sitemaps",
+        action="store_true",
+        help="with --robots-txt: follow Sitemap: lines into the pages "
+        "corpus (recursing sitemapindex refs) and union the discovered "
+        "urls into the seed list",
+    )
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--round-seconds", type=float, default=60.0)
     p.add_argument("--max-depth", type=int, default=10)
@@ -60,6 +67,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 
 def main(argv: list[str]) -> int:
     args = parse_args(argv)
+    if args.discover_sitemaps and not args.robots_txt:
+        print("--discover-sitemaps requires --robots-txt", file=sys.stderr)
+        return 2
 
     from crawlspark import config, crawl, io
     from crawlspark.schemas import ROBOTS_SCHEMA
@@ -73,6 +83,11 @@ def main(argv: list[str]) -> int:
 
         raw = spark.read.parquet(args.robots_txt)
         robots = polite.robots_from_text(raw, agent=args.agent)
+        if args.discover_sitemaps:
+            found = io.discover_seeds_from_robots(raw, pages).select("url")
+            n_found = found.count()
+            seeds = seeds.unionByName(found).distinct()
+            print(f"sitemap discovery: {n_found} urls added to seeds")
     elif args.robots:
         with open(args.robots) as f:
             robots_rows = json.load(f)

@@ -163,3 +163,64 @@ def test_seeds_from_sitemaps_spark(spark):
     # seeds plug straight into the crawl's seed shape
     seeds = cio.seeds_from_sitemaps(df).filter("not is_index_ref").select("url")
     assert seeds.count() == 2
+
+
+def test_discover_seeds_from_robots_end_to_end(spark):
+    import datetime
+    import gzip
+
+    from crawlspark import io as cio
+
+    robots_raw = spark.createDataFrame(
+        [
+            ("ex.com", "User-agent: *\nDisallow: /x/\nSitemap: https://ex.com/sm_index.xml\n"),
+            ("other.com", "User-agent: *\nSitemap: https://other.com/sm.xml\n"),
+            ("bare.com", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    index = (
+        b"<sitemapindex>"
+        b"<sitemap><loc>https://ex.com/sm1.xml.gz</loc></sitemap>"
+        b"<sitemap><loc>https://ex.com/sm_index.xml</loc></sitemap>"  # self-ref cycle
+        b"<sitemap><loc>https://ex.com/missing.xml</loc></sitemap>"  # not in corpus
+        b"</sitemapindex>"
+    )
+    child = (
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://ex.com/p1</loc><priority>0.9</priority></url>"
+        b"<url><loc>https://ex.com/p2</loc></url></urlset>"
+    )
+    flat = b"<urlset><url><loc>https://other.com/q</loc><lastmod>2026-03-04</lastmod></url></urlset>"
+    stale = b"<urlset><url><loc>https://ex.com/OLD</loc></url></urlset>"
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 6, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://ex.com/sm_index.xml", t0, bytearray(index), None, None),
+            ("https://ex.com/sm1.xml.gz", t0, bytearray(stale), None, None),  # superseded
+            ("https://ex.com/sm1.xml.gz", t1, bytearray(gzip.compress(child)), None, None),
+            ("https://other.com/sm.xml", t0, bytearray(flat), None, None),
+            ("https://ex.com/unrelated", t0, bytearray(b"<html></html>"), None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = {r["url"]: r for r in cio.discover_seeds_from_robots(robots_raw, pages).collect()}
+    # as-of pick takes the NEWER sm1 body; missing/cycle refs terminate quietly
+    assert set(out) == {"https://ex.com/p1", "https://ex.com/p2", "https://other.com/q"}
+    assert out["https://ex.com/p1"]["priority"] == 0.9
+    assert out["https://other.com/q"]["lastmod"].month == 3
+
+
+def test_discover_seeds_no_sitemaps_is_empty(spark):
+    from crawlspark import io as cio
+
+    robots_raw = spark.createDataFrame(
+        [("bare.com", "User-agent: *\n")], "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = cio.discover_seeds_from_robots(robots_raw, pages)
+    assert out.count() == 0
+    assert out.columns == ["url", "lastmod", "priority"]
