@@ -291,8 +291,147 @@ def links_polite_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 links_polite_udf = links_polite_udf.asNondeterministic()
 
 
+# ---------------------------------------------------- main-content extraction
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+    "article", "section", "blockquote", "pre", "br", "tr", "ul", "ol",
+    "table", "dd", "dt", "figcaption",
+}
+_CHROME_TAGS = {"nav", "footer", "aside", "header", "form"}
+
+
+class _Blocks(HTMLParser):
+    """Split the document into text blocks at block-level tag boundaries,
+    tracking per-block link chars and whether the block sits inside page
+    chrome (<nav>/<footer>/<aside>/<header>/<form>)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._a_depth = 0
+        self._chrome_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append(
+                {
+                    "text": text,
+                    "link_chars": min(self._link_chars, len(text)),
+                    "chrome": self._chrome_depth > 0,
+                }
+            )
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._a_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth = max(0, self._chrome_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        self._parts.append(data)
+        if self._a_depth:
+            self._link_chars += len(" ".join(data.split()))
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def extract_main_one(
+    html_bytes: bytes | None,
+    min_words: int = 8,
+    max_link_density: float = 0.35,
+    neighbor_min_words: int = 3,
+) -> str | None:
+    """Boilerplate-removed main content (jusText/boilerpipe-style shallow
+    heuristics, deterministic stdlib-only):
+
+    1. split into text blocks at block-level tag boundaries;
+    2. a block is GOOD if it has ≥ ``min_words`` words, link density
+       (anchor chars / chars) ≤ ``max_link_density``, and is not inside
+       page chrome (<nav>/<footer>/<aside>/<header>/<form>);
+    3. smoothing: a short non-chrome block (≥ ``neighbor_min_words``
+       words, e.g. a heading) adjacent to a GOOD block is kept too;
+    4. kept blocks join with a single blank line, in document order.
+
+    Same determinism contract as :func:`extract_text_one` (UTF-8-strict →
+    Latin-1 decode, whitespace-normalized per block).  Link lists, navs,
+    and footers drop out via the link-density and chrome rules — this is
+    the "text" a pretraining corpus wants, where the byte-pinned
+    :func:`extract_text_one` is the "every visible token" normal form the
+    crawl-ordering contract pins.
+    """
+    s = decode_bytes(html_bytes)
+    if s is None:
+        return None
+    p = _Blocks()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        return None
+    blocks = p.blocks
+    n = len(blocks)
+    good = [False] * n
+    for i, b in enumerate(blocks):
+        words = len(b["text"].split())
+        dens = b["link_chars"] / len(b["text"]) if b["text"] else 1.0
+        good[i] = (
+            not b["chrome"] and words >= min_words and dens <= max_link_density
+        )
+    keep = list(good)
+    for i, b in enumerate(blocks):
+        if good[i] or b["chrome"]:
+            continue
+        words = len(b["text"].split())
+        dens = b["link_chars"] / len(b["text"]) if b["text"] else 1.0
+        if (
+            words >= neighbor_min_words
+            and dens <= max_link_density
+            and ((i > 0 and good[i - 1]) or (i + 1 < n and good[i + 1]))
+        ):
+            keep[i] = True
+    return "\n\n".join(b["text"] for i, b in enumerate(blocks) if keep[i])
+
+
+@pandas_udf(StringType())
+def main_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched main-content extraction over ``html: binary``."""
+    return html.map(extract_main_one)
+
+
+main_text_udf = main_text_udf.asNondeterministic()
+
+
 __all__ = [
     "text_udf",
+    "main_text_udf",
+    "extract_main_one",
     "links_udf",
     "text_links_udf",
     "links_polite_udf",

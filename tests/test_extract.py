@@ -5,6 +5,7 @@ import os
 
 import pytest
 
+from crawlspark import extract
 from crawlspark.extract import extract_links_one, extract_text_one
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "extract")
@@ -182,3 +183,51 @@ def test_links_polite_udf_spark(spark):
     assert out["http://e.x/a"]["links"] == ["http://e.x/p"]
     assert not out["http://e.x/a"]["meta_nofollow"]
     assert out["http://e.x/b"]["links"] == [] and out["http://e.x/b"]["meta_nofollow"]
+
+
+ARTICLE_HTML = b"""<html><head><title>T</title><style>p{}</style></head><body>
+<nav><a href=/>Home</a> <a href=/about>About</a> <a href=/contact>Contact</a></nav>
+<header><a href=/login>Log in with your account right now today</a></header>
+<h2>A Good Heading</h2>
+<p>This is the first real paragraph of the article with plenty of words to pass the threshold easily.</p>
+<p>Tiny.</p>
+<p>And a second substantial paragraph continues the story with more than eight words for sure.</p>
+<div><a href=/x>link one</a> <a href=/y>link two</a> <a href=/z>link three four five six seven eight</a></div>
+<aside>Related articles you might also enjoy reading during your stay</aside>
+<footer>Copyright 2026 Example Corp All Rights Reserved Worldwide Yes</footer>
+</body></html>"""
+
+
+def test_extract_main_drops_boilerplate_keeps_article():
+    out = extract.extract_main_one(ARTICLE_HTML)
+    paras = out.split("\n\n")
+    # heading survives via neighbor smoothing; both real paragraphs kept
+    assert paras[0] == "A Good Heading"
+    assert paras[1].startswith("This is the first real paragraph")
+    assert paras[2].startswith("And a second substantial paragraph")
+    assert len(paras) == 3
+    # chrome and link-farm content is gone even though it has many words
+    for bad in ("Home", "Log in", "link one", "Related articles", "Copyright"):
+        assert bad not in out
+
+
+def test_extract_main_edge_cases():
+    assert extract.extract_main_one(None) is None
+    assert extract.extract_main_one(b"") == ""
+    assert extract.extract_main_one(b"just plain text " * 3 + b"with enough words here") != ""
+    # all-boilerplate page -> empty string, not None
+    assert extract.extract_main_one(b"<nav><a href=/>x</a></nav>") == ""
+    # deterministic
+    assert extract.extract_main_one(ARTICLE_HTML) == extract.extract_main_one(ARTICLE_HTML)
+
+
+def test_main_text_udf_spark(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(ARTICLE_HTML)), ("u2", None)], "url string, html binary"
+    )
+    rows = {
+        r["url"]: r["main"]
+        for r in df.select("url", extract.main_text_udf("html").alias("main")).collect()
+    }
+    assert rows["u1"] == extract.extract_main_one(ARTICLE_HTML)
+    assert rows["u2"] is None
