@@ -705,3 +705,50 @@ def repetition_stats(
             ),
         )
     )
+
+
+# ------------------------------------------------- composite clean pipeline
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+    min_quality: float = 0.3,
+    max_dup_line_frac: float = 0.5,
+    max_top_bigram_char_frac: float = 0.2,
+    minhash_threshold: float = 0.7,
+) -> DataFrame:
+    """The headline documents → training-corpus pipeline, composed from
+    the individual operators in their scale-correct order (cheapest filter
+    first, pair-generating dedup last, over the already-shrunk survivor
+    set):
+
+    1. language filter (:func:`lang_id`, built-ins only);
+    2. quality + repetition filter (:func:`quality_score` +
+       :func:`repetition_stats` thresholds — Gopher-style);
+    3. exact dedup (one hash-aggregate, :func:`exact_dedup`);
+    4. MinHash near-dup clusters collapsed to their best-quality canonical
+       document (:func:`minhash_dedup_pairs` → :func:`neardup_dedup`).
+
+    Returns the surviving documents with ``pred_lang``, ``quality``, and
+    the repetition fractions attached (downstream :func:`pack_corpus` uses
+    ``quality`` directly).  Every stage is a lazy DataFrame transform; the
+    whole pipeline is one plan until acted on.
+    """
+    lang = lang_id(df, id_col, text_col).select(id_col, "pred_lang")
+    qual = quality_score(df, id_col, text_col).select(id_col, "quality")
+    rep = repetition_stats(df, id_col, text_col).select(
+        id_col, "dup_line_frac", "top_bigram_char_frac"
+    )
+    base = df.join(lang, id_col).join(qual, id_col).join(rep, id_col)
+    if langs is not None:
+        base = base.filter(F.col("pred_lang").isin(list(langs)))
+    base = base.filter(
+        (F.col("quality") >= F.lit(float(min_quality)))
+        & (F.col("dup_line_frac") <= F.lit(float(max_dup_line_frac)))
+        & (F.col("top_bigram_char_frac") <= F.lit(float(max_top_bigram_char_frac)))
+    )
+    base = exact_dedup(base, id_col, text_col)
+    pairs = minhash_dedup_pairs(base, id_col, text_col, threshold=minhash_threshold)
+    return neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")

@@ -324,3 +324,33 @@ def test_repetition_stats_vs_python_oracle(spark):
         assert r["dup_line_frac"] == dl, doc_id
         assert r["dup_line_char_frac"] == dlc, doc_id
         assert r["top_bigram_char_frac"] == tb, doc_id
+
+
+def test_clean_corpus_end_to_end(spark):
+    good = (
+        "the cat and the dog walked over a bridge of stone while the sun "
+        "set over a quiet field and the birds sang of the evening air "
+    ) * 3
+    docs = [
+        (1, good),                                  # survives
+        (2, good + " extra tail words here"),       # near-dup of 1 (lower id loses on equal quality? quality differs slightly)
+        (3, good),                                  # exact dup of 1
+        (4, "short"),                               # quality too low
+        (5, ("spam spam " * 40).strip()),           # top-bigram repetition
+        (6, "\n".join(["the same line of the day"] * 12)),  # dup lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textops.clean_corpus(
+        df, langs=["en"], min_quality=0.3, minhash_threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 3 drops as exact dup of 1; {1,2} near-dup cluster keeps the better-
+    # quality doc; 4/5/6 fail the filters
+    assert len(kept) == 1 and kept[0] in (1, 2)
+    row = out.collect()[0]
+    assert row["pred_lang"] == "en"
+    assert row["quality"] >= 0.3
+    assert set(out.columns) >= {
+        "doc_id", "text", "pred_lang", "quality", "dup_line_frac",
+        "top_bigram_char_frac",
+    }
