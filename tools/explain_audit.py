@@ -172,6 +172,46 @@ def main() -> int:
         [("BroadcastNestedLoopJoin", True, "exact baseline: cross join is BROADCAST nested-loop (query side broadcast, corpus never shuffles)")],
     )
 
+    # 6. round-2 additions: training-data ops keep scale-safe shapes
+    from crawlspark import graph, textops
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    prep = plan_of(textops.repetition_stats(docs))
+    checks6 = []
+    ok = "ArrowEvalPython" not in prep and "BatchEvalPython" not in prep
+    checks6.append(f"{'OK' if ok else 'FAIL'} repetition_stats: all built-ins — no Python in plan")
+    if not ok:
+        failures.append("repetition_stats: python in plan")
+    n_hashagg = prep.count("HashAggregate")
+    ok = n_hashagg >= 4  # two explode-aggs, each partial+final
+    checks6.append(f"{'OK' if ok else 'FAIL'} map-side partial aggregates ({n_hashagg} HashAggregate nodes)")
+    if not ok:
+        failures.append("repetition_stats: missing partial aggregates")
+    sections.append(("textops.repetition_stats", prep, checks6))
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    e = pairs.selectExpr("id_a as u", "id_b as v")
+    pstar = plan_of(graph._small_star(graph._large_star(e)))
+    checks7 = []
+    for sub, label in [("CartesianProduct", "no cartesian"), ("BroadcastNestedLoopJoin", "no nested-loop join")]:
+        ok = sub not in pstar
+        checks7.append(f"{'OK' if ok else 'FAIL'} components round: {label}")
+        if not ok:
+            failures.append(f"components: {sub} in plan")
+    ok = pstar.count("HashAggregate") >= 2
+    checks7.append(f"{'OK' if ok else 'FAIL'} neighborhood mins are hash-aggregates (no collect_list)")
+    if not ok:
+        failures.append("components: no hash-aggregate min")
+    sections.append(("graph connected-components round (large-star + small-star)", pstar, checks7))
+
+    psamp = plan_of(textops.sample_bernoulli(docs, 0.1))
+    checks8 = []
+    ok = "Exchange" not in psamp
+    checks8.append(f"{'OK' if ok else 'FAIL'} sample_bernoulli: pure scan-side filter, zero shuffles")
+    if not ok:
+        failures.append("sample_bernoulli: shuffle in plan")
+    sections.append(("textops.sample_bernoulli", psamp, checks8))
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
