@@ -142,7 +142,16 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
     """Representative operator benchmarks over the driver's sf tables."""
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    from crawlspark import textops
+
+    def _clean_corpus(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return textops.clean_corpus(docs, langs=["en"])
+
+    qs = dict(entrymod.queries())
+    # flagship composite (lang → quality/repetition → exact dedup → MinHash
+    # cluster dedup); not a registry entry (50-entry driver window is full)
+    qs["clean_corpus"] = _clean_corpus
     names = [
         "agg_basic",
         "join_equi",
@@ -152,6 +161,7 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
         "ann_brute",
         "fingerprint",
         "lang_id",
+        "clean_corpus",
     ]
     out: dict[str, float] = {}
     for _rep in range(max(reps, 1)):
