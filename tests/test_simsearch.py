@@ -203,3 +203,19 @@ def test_ivf_nprobe_monotone(spark):
 
     assert recall(4) >= recall(1)
     assert recall(8) == 1.0  # probing every list == brute force
+
+
+def test_embedding_pairs_feed_cluster_dedup(spark, corpus):
+    """The pair table plugs straight into textops.neardup_dedup: exact
+    twins collapse to one survivor per identity cluster."""
+    from crawlspark import textops
+
+    twins = corpus.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    triplets = corpus.select((F.col("vec_id") + 2000).alias("vec_id"), "embedding")
+    both = corpus.unionByName(twins).unionByName(triplets)
+    pairs = simsearch.neardup_pairs(both, threshold=0.999, dim=DIM, n_planes=4)
+    out = textops.neardup_dedup(both, pairs, id_col="vec_id")
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # every identity cluster {i, i+1000, i+2000} keeps exactly min id = i
+    n = corpus.count()
+    assert kept == list(range(n))
