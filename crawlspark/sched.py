@@ -214,6 +214,55 @@ def indegree_priorities(parsed: DataFrame, scale: float = 1.0) -> DataFrame:
     )
 
 
+def host_reputation(
+    scored_docs: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    dup_col: str | None = None,
+) -> DataFrame:
+    """(host, rep, n_docs, avg_quality[, dup_frac]) — per-host reputation
+    from already-fetched documents' quality signals: hosts that keep
+    yielding high-quality, non-duplicated text should be crawled deeper,
+    link-farm hosts should starve.
+
+    ``rep`` ∈ [0,1] = avg quality × (1 − dup fraction) (dup term only when
+    ``dup_col``, a 0/1 duplicate mark, is given).  One hash-aggregate over
+    (host) — map-side combined, thin rows.
+    """
+    host = urlnorm.host(F.col(url_col)).alias("host")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(quality_col), 6).alias("avg_quality"),
+    ]
+    if dup_col is not None:
+        aggs.append(F.round(F.avg(dup_col), 6).alias("dup_frac"))
+    out = scored_docs.select(host, quality_col, *([dup_col] if dup_col else [])).groupBy(
+        "host"
+    ).agg(*aggs)
+    rep = F.col("avg_quality") * (
+        (1 - F.col("dup_frac")) if dup_col is not None else F.lit(1.0)
+    )
+    return out.withColumn("rep", F.round(rep, 6))
+
+
+def reputation_priorities(
+    frontier: DataFrame, reputation: DataFrame, scale: float = 1.0
+) -> DataFrame:
+    """(url, priority) for :func:`with_priorities`: frontier urls inherit
+    their host's reputation (higher rep → more-negative priority → fetched
+    earlier under the ascending host order).  Unknown hosts get neutral
+    0.0 by the ``with_priorities`` left-join contract — new hosts are
+    explored, not starved.  The reputation side is (host, rep) — tiny
+    next to the frontier — and broadcast.
+    """
+    rep = F.broadcast(reputation.select("host", "rep"))
+    return (
+        frontier.select("url", urlnorm.host(F.col("url")).alias("host"))
+        .join(rep, "host")
+        .select("url", (-F.col("rep") * F.lit(scale)).alias("priority"))
+    )
+
+
 def with_priorities(frontier: DataFrame, prios: DataFrame) -> DataFrame:
     """Overwrite frontier priorities from a (url, priority) table (urls not
     in the table keep neutral 0.0); schema and column order preserved."""

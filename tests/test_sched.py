@@ -282,3 +282,36 @@ def test_recrawl_schedule_matches_duckdb_oracle(spark):
     assert by_url["http://b.ex/once"]["recrawl_interval"] == 200.0    # single fetch
     assert bool(by_url["http://a.ex/fast"]["due"])                    # 300+100 <= 500
     assert not bool(by_url["http://b.ex/slow"]["due"])                # 1000+500 > 500
+
+
+def test_host_reputation_and_priorities(spark):
+    docs = spark.createDataFrame(
+        [
+            ("https://good.site/a", 0.9, 0),
+            ("https://good.site/b", 0.7, 0),
+            ("https://farm.site/x", 0.8, 1),
+            ("https://farm.site/y", 0.6, 1),
+            ("https://farm.site/z", 0.4, 0),
+        ],
+        "url string, quality double, is_dup int",
+    )
+    rep = {r["host"]: r for r in sched.host_reputation(docs, dup_col="is_dup").collect()}
+    assert rep["good.site"]["avg_quality"] == 0.8
+    assert rep["good.site"]["rep"] == 0.8        # no dups
+    assert rep["farm.site"]["dup_frac"] == round(2 / 3, 6)
+    assert abs(rep["farm.site"]["rep"] - 0.6 * (1 - 2 / 3)) < 1e-6
+    # quality-only variant
+    rep2 = {r["host"]: r["rep"] for r in sched.host_reputation(docs).collect()}
+    assert rep2["farm.site"] == 0.6
+
+    frontier = spark.createDataFrame(
+        [("https://good.site/new",), ("https://farm.site/new",), ("https://fresh.site/new",)],
+        "url string",
+    )
+    prios = sched.reputation_priorities(
+        frontier, sched.host_reputation(docs, dup_col="is_dup")
+    )
+    got = {r["url"]: r["priority"] for r in prios.collect()}
+    # higher reputation → more negative priority → scheduled earlier
+    assert got["https://good.site/new"] < got["https://farm.site/new"] < 0
+    assert "https://fresh.site/new" not in got  # unknown host stays neutral via with_priorities
