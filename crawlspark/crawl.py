@@ -28,7 +28,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import bloom, config, dedup, extract, fetch, metrics, polite, sched, state, urlnorm
+from . import bloom, config, dedup, extract, fetch, metrics, polite, sched, state, urlfilter, urlnorm
 from .schemas import FRONTIER_SCHEMA
 
 
@@ -118,6 +118,8 @@ def run_round(
     run_id: str,
     collect_metrics: bool = True,
     pages_latest_keys: DataFrame | None = None,
+    url_filter: bool = False,
+    blocklist: DataFrame | None = None,
 ) -> dict:
     """One crawl round; returns the new state plus round outputs."""
     m: list[DataFrame] = []
@@ -201,6 +203,13 @@ def run_round(
     new_seen = seen.select("url_hash", "bucket").unionByName(seen_delta)
 
     discovered = links_to_frontier(parsed, round_no + 1, cfg.n_buckets, cfg.max_depth)
+    # opt-in pre-fetch gate: drop trap/junk urls and blocklisted hosts at
+    # the cheapest point — before they ever enter the frontier (off by
+    # default so replay/ordering goldens stay byte-pinned)
+    if url_filter:
+        discovered = urlfilter.filter_urls(discovered)
+    if blocklist is not None:
+        discovered = urlfilter.apply_host_blocklist(discovered, blocklist)
     # anti-join on the materialized delta (same url_hash set as `tried`)
     # instead of `tried` itself — avoids recomputing the candidate branch
     leftover = frontier.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
@@ -231,6 +240,8 @@ def crawl(
     snapshot_root: str | None = None,
     run_id: str | None = None,
     resume: bool = False,
+    url_filter: bool = False,
+    blocklist: DataFrame | None = None,
 ) -> dict:
     """Full crawl: rounds until budget/rounds exhausted or frontier empty.
 
@@ -252,6 +263,10 @@ def crawl(
         sidecar = state.bloom_path(snapshot_root, run_id, last)
     else:
         frontier = seeds_to_frontier(seeds, cfg.n_buckets)
+        if url_filter:
+            frontier = urlfilter.filter_urls(frontier)
+        if blocklist is not None:
+            frontier = urlfilter.apply_host_blocklist(frontier, blocklist)
         seen = spark.createDataFrame([], "url_hash long, bucket int")
 
     logs: list[DataFrame] = []
@@ -270,6 +285,8 @@ def crawl(
             spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id,
             collect_metrics=snapshot_root is not None,
             pages_latest_keys=pages_latest_keys,
+            url_filter=url_filter,
+            blocklist=blocklist,
         )
         # seen' was materialized inside run_round (overlapped with parse);
         # frontier' is the only frame left to pin for the next round

@@ -56,6 +56,19 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--out", default=None, help="extracted-text sink path")
     p.add_argument(
+        "--url-filter",
+        action="store_true",
+        help="drop trap/junk urls (session ids, calendar traps, binary "
+        "extensions, path loops, length/depth/param limits) before they "
+        "enter the frontier",
+    )
+    p.add_argument(
+        "--blocklist",
+        default=None,
+        help="host blocklist (text file, one host suffix per line); "
+        "matching hosts and their subdomains never enter the frontier",
+    )
+    p.add_argument(
         "--persist-mode",
         default=None,
         choices=["checkpoint", "disk"],
@@ -70,6 +83,8 @@ def main(argv: list[str]) -> int:
     if args.discover_sitemaps and not args.robots_txt:
         print("--discover-sitemaps requires --robots-txt", file=sys.stderr)
         return 2
+
+    from pyspark.sql import functions as F
 
     from crawlspark import config, crawl, io
     from crawlspark.schemas import ROBOTS_SCHEMA
@@ -108,6 +123,13 @@ def main(argv: list[str]) -> int:
         max_depth=args.max_depth,
         **kw,
     )
+    blocklist = None
+    if args.blocklist:
+        blocklist = (
+            spark.read.text(args.blocklist)
+            .select(F.trim(F.col("value")).alias("host_suffix"))
+            .filter(F.col("host_suffix") != "")
+        )
     result = crawl.crawl(
         spark,
         seeds,
@@ -117,6 +139,8 @@ def main(argv: list[str]) -> int:
         snapshot_root=args.snapshot_root,
         run_id=args.run_id,
         resume=args.resume,
+        url_filter=args.url_filter,
+        blocklist=blocklist,
     )
     n = result["fetch_log"].count()
     print(f"crawl {result['run_id']}: {result['rounds_run']} rounds, {n} urls fetched")

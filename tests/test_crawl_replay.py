@@ -175,3 +175,45 @@ def test_seen_compaction_every_round_identical(spark, fixtures):
     got_seen = {r["url_hash"] for r in result["seen"].collect()}
     ref = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=CFG)
     assert got_seen == {r["url_hash"] for r in ref["seen"].collect()}
+
+
+def test_blocklist_gates_frontier(spark, fixtures):
+    """A blocklisted host never appears in the fetch log; the same crawl
+    without the blocklist does fetch it (control)."""
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    control = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=CFG)
+    hosts = {
+        r["h"]
+        for r in control["fetch_log"]
+        .select(F.expr("parse_url(url, 'HOST')").alias("h"))
+        .distinct()
+        .collect()
+    }
+    victim = sorted(hosts)[0]
+    blocked = spark.createDataFrame([(victim,)], "host_suffix string")
+    gated = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=CFG, blocklist=blocked
+    )
+    gated_hosts = {
+        r["h"]
+        for r in gated["fetch_log"]
+        .select(F.expr("parse_url(url, 'HOST')").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert victim not in gated_hosts
+    assert gated_hosts  # crawl still fetched the rest
+    assert gated_hosts <= hosts - {victim}
+
+
+def test_url_filter_flag_keeps_clean_corpus_identical(spark, fixtures):
+    """gen_pages urls are clean, so the opt-in filter must not change the
+    fetch log — guards against false positives on normal urls."""
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    base = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=CFG)
+    filt = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=CFG, url_filter=True
+    )
+    a = [(r["round"], r["sched_ts"], r["url"]) for r in base["fetch_log"].collect()]
+    b = [(r["round"], r["sched_ts"], r["url"]) for r in filt["fetch_log"].collect()]
+    assert sorted(a) == sorted(b)
