@@ -212,6 +212,32 @@ def main() -> int:
         failures.append("sample_bernoulli: shuffle in plan")
     sections.append(("textops.sample_bernoulli", psamp, checks8))
 
+    from crawlspark import urlfilter
+
+    fr = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",)], "url string"
+    )
+    pflag = plan_of(urlfilter.flag_urls(fr))
+    checks9 = []
+    ok = "ArrowEvalPython" not in pflag and "BatchEvalPython" not in pflag
+    checks9.append(f"{'OK' if ok else 'FAIL'} url heuristics: all built-ins — no Python in plan")
+    if not ok:
+        failures.append("urlfilter: python in plan")
+    sections.append(("urlfilter.flag_urls", pflag, checks9))
+
+    bl = spark.createDataFrame([("spam.example",)], "host_suffix string")
+    pbl = plan_of(urlfilter.apply_host_blocklist(fr, bl))
+    checks10 = []
+    ok = "BroadcastExchange" in pbl
+    checks10.append(f"{'OK' if ok else 'FAIL'} blocklist joins are broadcast (thin host keys)")
+    if not ok:
+        failures.append("blocklist: no broadcast")
+    ok = "CartesianProduct" not in pbl
+    checks10.append(f"{'OK' if ok else 'FAIL'} no cartesian")
+    if not ok:
+        failures.append("blocklist: cartesian")
+    sections.append(("urlfilter.apply_host_blocklist", pbl, checks10))
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
