@@ -120,6 +120,7 @@ def run_round(
     pages_latest_keys: DataFrame | None = None,
     url_filter: bool = False,
     blocklist: DataFrame | None = None,
+    reputation: DataFrame | None = None,
 ) -> dict:
     """One crawl round; returns the new state plus round outputs."""
     m: list[DataFrame] = []
@@ -157,6 +158,7 @@ def run_round(
         round_seconds=cfg.round_seconds,
         max_budget=cfg.max_budget_per_host,
         salt=cfg.salt,
+        reputation=reputation,
     )
     # materialize once: scheduled feeds fetch, fetch_log, seen', frontier'
     scheduled = _materialize(scheduled, cfg.persist_mode)
@@ -242,8 +244,16 @@ def crawl(
     resume: bool = False,
     url_filter: bool = False,
     blocklist: DataFrame | None = None,
+    quality_feedback: bool = False,
 ) -> dict:
     """Full crawl: rounds until budget/rounds exhausted or frontier empty.
+
+    ``quality_feedback=True`` turns on quality-directed crawling: after each
+    round, per-host reputation (avg quality of the round's extracted text,
+    sched.host_reputation) scales the NEXT round's per-host politeness
+    budgets — link farms starve, good hosts keep their slots.  Off by
+    default: it intentionally changes fetch ordering, so the replay-exact
+    contract applies only to the default mode.
 
     Returns {"fetch_log": DF(round, seq, url), "extracted": DF(url, text),
     "seen": DF, "frontier": DF, "rounds_run": int}.
@@ -278,6 +288,7 @@ def crawl(
     # reused by round r, instead of a separate isEmpty barrier per round
     frontier = _materialize(frontier, cfg.persist_mode)
     frontier_count = frontier.count()
+    reputation: DataFrame | None = None
     for r in range(start_round, cfg.rounds):
         if frontier_count == 0:
             break
@@ -287,6 +298,7 @@ def crawl(
             pages_latest_keys=pages_latest_keys,
             url_filter=url_filter,
             blocklist=blocklist,
+            reputation=reputation,
         )
         # seen' was materialized inside run_round (overlapped with parse);
         # frontier' is the only frame left to pin for the next round
@@ -300,6 +312,28 @@ def crawl(
         frontier_count = frontier.count()
         logs.append(out["fetch_log"])
         texts.append(out["parsed"].select("url", "text"))
+        if quality_feedback:
+            from . import textops
+
+            scored = textops.quality_score(
+                out["parsed"].select("url", "text"), id_col="url", text_col="text"
+            )
+            rep_round = sched.host_reputation(scored, url_col="url")
+            # running mean across rounds: re-average the (host, sum, count)
+            # pairs so early rounds don't dominate — thin rows, tiny agg
+            rep_acc = rep_round.select(
+                "host",
+                (F.col("avg_quality") * F.col("n_docs")).alias("q_sum"),
+                F.col("n_docs").cast("long").alias("n"),
+            )
+            if reputation is not None:
+                rep_acc = reputation.select("host", "q_sum", "n").unionByName(rep_acc)
+            reputation = _materialize(
+                rep_acc.groupBy("host").agg(
+                    F.sum("q_sum").alias("q_sum"), F.sum("n").alias("n")
+                ),
+                cfg.persist_mode,
+            ).withColumn("rep", F.round(F.col("q_sum") / F.col("n"), 6))
         rounds_run += 1
         if snapshot_root is not None:
             bloom_df = bloom.build(seen)

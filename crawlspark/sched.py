@@ -34,9 +34,40 @@ from . import config, polite, urlnorm
 _HOST_ORDER = ["priority", "discovered_round", "depth", "url"]
 
 
-def _with_budget(frontier: DataFrame, round_seconds: float, max_budget: int) -> DataFrame:
-    return frontier.withColumn(
+def _with_budget(
+    frontier: DataFrame,
+    round_seconds: float,
+    max_budget: int,
+    reputation: DataFrame | None = None,
+    rep_floor: float = 0.1,
+) -> DataFrame:
+    df = frontier.withColumn(
         "budget", polite.budget_col(round_seconds, max_budget)
+    )
+    if reputation is None:
+        return df
+    # quality-directed crawling: a host's politeness budget scales with its
+    # observed reputation rep∈[0,1] (budget × (rep_floor + (1−rep_floor)·rep),
+    # min 1 so no host is starved outright); unknown hosts keep their full
+    # budget — new hosts are explored, not punished.  The reputation side is
+    # (host, rep), tiny next to the frontier, and broadcast.
+    rep = F.broadcast(reputation.select("host", F.col("rep").alias("__rep")))
+    return (
+        df.join(rep, "host", "left")
+        .withColumn(
+            "budget",
+            F.when(
+                F.col("__rep").isNotNull(),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.col("budget")
+                        * (F.lit(rep_floor) + F.lit(1.0 - rep_floor) * F.col("__rep"))
+                    ).cast("int"),
+                ),
+            ).otherwise(F.col("budget")),
+        )
+        .drop("__rep")
     )
 
 
@@ -74,14 +105,17 @@ def schedule(
     round_seconds: float = config.ROUND_SECONDS,
     max_budget: int = config.MAX_BUDGET_PER_HOST,
     salt: int = config.SALT,
+    reputation: DataFrame | None = None,
 ) -> DataFrame:
     """J4: salted applyInPandas priority queues, then per-host re-rank.
 
     Identical output to ``schedule_window`` (asserted in tests); survives a
     mega-host because no Python worker ever materializes more than one
     (host, salt) slice, and each slice emits at most ``budget`` rows.
+    ``reputation`` (host, rep) scales each known host's budget — see
+    :func:`_with_budget` / :func:`host_reputation`.
     """
-    df = _with_budget(frontier, round_seconds, max_budget).withColumn(
+    df = _with_budget(frontier, round_seconds, max_budget, reputation).withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int")
     )
 

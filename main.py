@@ -69,6 +69,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "matching hosts and their subdomains never enter the frontier",
     )
     p.add_argument(
+        "--quality-feedback",
+        action="store_true",
+        help="quality-directed crawling: per-host reputation from each "
+        "round's extracted text scales the next round's politeness "
+        "budgets (changes fetch ordering — off by default)",
+    )
+    p.add_argument(
         "--persist-mode",
         default=None,
         choices=["checkpoint", "disk"],
@@ -141,6 +148,7 @@ def main(argv: list[str]) -> int:
         resume=args.resume,
         url_filter=args.url_filter,
         blocklist=blocklist,
+        quality_feedback=args.quality_feedback,
     )
     n = result["fetch_log"].count()
     print(f"crawl {result['run_id']}: {result['rounds_run']} rounds, {n} urls fetched")

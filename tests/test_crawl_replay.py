@@ -217,3 +217,66 @@ def test_url_filter_flag_keeps_clean_corpus_identical(spark, fixtures):
     a = [(r["round"], r["sched_ts"], r["url"]) for r in base["fetch_log"].collect()]
     b = [(r["round"], r["sched_ts"], r["url"]) for r in filt["fetch_log"].collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_quality_feedback_starves_junk_host(spark):
+    """With quality_feedback on, a host serving junk gets its budget cut
+    in later rounds; a host serving real prose keeps its slots."""
+    from datetime import datetime, timezone
+
+    from crawlspark.schemas import PAGES_SCHEMA
+
+    ts0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    good_text = (
+        "the quick brown fox and the lazy dog of a quiet field "
+        "walked over a bridge of stone in the evening air "
+    )
+    rows = []
+    for host, junk in (("goodhost.example", False), ("junkhost.example", True)):
+        for i in range(30):
+            url = f"https://{host}/p/{i}"
+            links = "".join(
+                f'<a href="https://{host}/p/{j}">l</a>' for j in range(30)
+            )
+            body = "zzqx " * 40 if junk else good_text * 6  # ≥100 words ⇒ quality 1.0
+            html = f"<html><head><title>t{i}</title></head><body><p>{body}</p>{links}</body></html>"
+            rows.append(
+                {
+                    "url": url,
+                    "warc_ts": ts0,
+                    "html": html.encode(),
+                    "text": None,
+                    "lang": "en",
+                }
+            )
+    pages_df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    seeds_df = spark.createDataFrame(
+        [("https://goodhost.example/p/0",), ("https://junkhost.example/p/0",)],
+        "url string",
+    )
+    robots_df = spark.createDataFrame(
+        [], "host string, rules array<struct<pattern:string,allow:boolean>>, crawl_delay double"
+    )
+    # crawl_delay default + small budget → 5 fetches/host/round
+    cfg = config.CrawlConfig(
+        n_buckets=8, salt=2, rounds=4, round_seconds=5.0,
+        default_crawl_delay=1.0, max_budget_per_host=5, max_depth=6,
+    )
+
+    def per_host(result):
+        return {
+            r["host"]: r["n"]
+            for r in result["fetch_log"].groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    base = per_host(crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg))
+    fb = per_host(
+        crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg, quality_feedback=True)
+    )
+    # without feedback both hosts get equal budgets
+    assert base["goodhost.example"] == base["junkhost.example"]
+    # with feedback the junk host fetches strictly fewer urls, the good
+    # host is not starved
+    assert fb["junkhost.example"] < base["junkhost.example"]
+    assert fb["goodhost.example"] == base["goodhost.example"]
