@@ -291,6 +291,93 @@ def links_polite_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
 links_polite_udf = links_polite_udf.asNondeterministic()
 
 
+# ---------------------------------------------------- anchor-text extraction
+
+class _Anchors(HTMLParser):
+    """Collect (href, anchor text) pairs; anchors don't nest in HTML, so a
+    new <a> implicitly closes the previous one."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+        self._skip_depth = 0
+
+    def _close_anchor(self) -> None:
+        if self._href is not None:
+            self.pairs.append((self._href, " ".join("".join(self._parts).split())))
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a":
+            self._close_anchor()
+            href = next((v for k, v in attrs if k == "href" and v), None)
+            self._href = href
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a":
+            self._close_anchor()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and not self._skip_depth:
+            self._parts.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._close_anchor()
+
+
+def extract_anchors_one(
+    html_bytes: bytes | None, base_url: str | None
+) -> list[dict]:
+    """(href → absolute url, anchor text) pairs in document order — link
+    context for frontier prioritization (anchor text is the classic
+    relevance signal) and weak-label mining.  Same decode/normalize
+    contract as the other extractors; unresolvable hrefs are skipped."""
+    s = decode_bytes(html_bytes)
+    if s is None:
+        return []
+    p = _Anchors()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        return []
+    out = []
+    for href, text in p.pairs:
+        try:
+            absu = urljoin(base_url or "", href.strip())
+        except Exception:
+            continue
+        if absu:
+            out.append({"url": absu, "anchor": text})
+    return out
+
+
+_ANCHOR_TYPE = ArrayType(
+    StructType(
+        [StructField("url", StringType()), StructField("anchor", StringType())]
+    )
+)
+
+
+@pandas_udf(_ANCHOR_TYPE)
+def anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Arrow-batched anchor extraction: (html, base url) → [(url, anchor)]."""
+    return pd.Series(
+        [extract_anchors_one(h, u) for h, u in zip(html, url)], index=html.index
+    )
+
+
+anchors_udf = anchors_udf.asNondeterministic()
+
+
 # ---------------------------------------------------- main-content extraction
 
 _BLOCK_TAGS = {
@@ -432,6 +519,8 @@ __all__ = [
     "text_udf",
     "main_text_udf",
     "extract_main_one",
+    "anchors_udf",
+    "extract_anchors_one",
     "links_udf",
     "text_links_udf",
     "links_polite_udf",

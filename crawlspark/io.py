@@ -214,13 +214,40 @@ def discover_seeds_from_robots(
     return seeds.distinct()
 
 
-def write_text(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """A6: extracted-text corpus sink (url, text)."""
-    out = df.select("url", "text")
+def write_text(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    host_buckets: int | None = None,
+) -> None:
+    """A6: extracted-text corpus sink (url, text).
+
+    At corpus scale a flat directory is the wrong layout: pass
+    ``host_buckets`` to add a ``host_bucket = pmod(xxhash64(host(url)), N)``
+    partition column (bounded cardinality, skew-proof — never partition by
+    raw host: one mega-host = one mega-file, and 10^7 hosts = 10^7 dirs),
+    and/or ``partition_by`` for existing low-cardinality columns (lang).
+    Readers then prune partitions on either key.
+    """
+    from . import urlnorm
+
+    cols = [c for c in df.columns if c in ("url", "text", *(partition_by or []))]
+    out = df.select(*dict.fromkeys(["url", "text", *cols]))
+    parts = list(partition_by or [])
+    if host_buckets:
+        out = out.withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64(urlnorm.host(F.col("url"))), F.lit(int(host_buckets))).cast("int"),
+        )
+        parts.append("host_bucket")
     if fmt == ICEBERG:
         out.writeTo(path).createOrReplace()
     else:
-        out.write.mode("overwrite").parquet(path)
+        w = out.write.mode("overwrite")
+        if parts:
+            w = w.partitionBy(*parts)
+        w.parquet(path)
 
 
 def write_pages_bucketed(

@@ -231,3 +231,43 @@ def test_main_text_udf_spark(spark):
     }
     assert rows["u1"] == extract.extract_main_one(ARTICLE_HTML)
     assert rows["u2"] is None
+
+
+def test_extract_anchors_pairs_and_resolution():
+    html = (
+        b'<html><body>'
+        b'<a href="/rel">Relative <b>Link</b></a>'
+        b'<a href="https://abs.example/x">Absolute</a>'
+        b'<a href="/empty"></a>'
+        b'<a>no href</a>'
+        b'<a href="/unclosed">First'
+        b'<a href="/second">Second</a>'
+        b'<script><a href="/injs">nope</a></script>'
+        b"</body></html>"
+    )
+    got = extract.extract_anchors_one(html, "https://base.example/dir/page")
+    assert got == [
+        {"url": "https://base.example/rel", "anchor": "Relative Link"},
+        {"url": "https://abs.example/x", "anchor": "Absolute"},
+        {"url": "https://base.example/empty", "anchor": ""},
+        {"url": "https://base.example/unclosed", "anchor": "First"},
+        {"url": "https://base.example/second", "anchor": "Second"},
+    ]
+    assert extract.extract_anchors_one(None, "https://b/") == []
+
+
+def test_anchors_udf_spark(spark):
+    from pyspark.sql import functions as F
+
+    html = b'<a href="/p">The Anchor</a>'
+    df = spark.createDataFrame(
+        [("https://h.example/", bytearray(html))], "url string, html binary"
+    )
+    rows = (
+        df.select(F.explode(extract.anchors_udf("html", "url")).alias("a"))
+        .select("a.url", "a.anchor")
+        .collect()
+    )
+    assert [(r["url"], r["anchor"]) for r in rows] == [
+        ("https://h.example/p", "The Anchor")
+    ]

@@ -224,3 +224,30 @@ def test_discover_seeds_no_sitemaps_is_empty(spark):
     out = cio.discover_seeds_from_robots(robots_raw, pages)
     assert out.count() == 0
     assert out.columns == ["url", "lastmod", "priority"]
+
+
+def test_write_text_partitioned_by_host_bucket(spark, tmp_path):
+    from crawlspark import io as cio
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p{i}", f"text {i}", "en") for i in range(12)],
+        "url string, text string, lang string",
+    )
+    out = str(tmp_path / "txt")
+    cio.write_text(df, out, partition_by=["lang"], host_buckets=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 12
+    assert {"lang", "host_bucket"} <= set(back.columns)
+    # same host → same bucket (pruning works per host)
+    got = {
+        r["url"]: r["host_bucket"]
+        for r in back.select("url", "host_bucket").collect()
+    }
+    by_host = {}
+    for u, b in got.items():
+        h = u.split("/")[2]
+        by_host.setdefault(h, set()).add(b)
+    assert all(len(bs) == 1 for bs in by_host.values())
+    # flat mode still fine
+    cio.write_text(df, str(tmp_path / "flat"))
+    assert spark.read.parquet(str(tmp_path / "flat")).columns == ["url", "text"]
