@@ -158,6 +158,48 @@ def seeds_from_sitemaps(sitemaps: DataFrame, body_col: str = "body") -> DataFram
     )
 
 
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """A1b: Common Crawl CDXJ index source — the standard way to enumerate
+    a CC crawl without touching WARC payloads.  Lines are
+    ``<surt urlkey> <14-digit timestamp> <json>``; gzipped ``.gz`` shards
+    decompress transparently via the text source's codec handling.
+
+    Output: (urlkey, warc_ts, url, status, mime, digest, length, offset,
+    filename) — join ``filename``/``offset``/``length`` against WARC
+    archives for payload fetch, or feed ``url`` straight into the frontier.
+    Everything is built-in parsing (regexp split + from_json), fully
+    pushed-down/codegen; malformed lines yield nulls and are dropped.
+    """
+    line = F.col("value")
+    j_schema = (
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string"
+    )
+    parsed = spark.read.text(path).select(
+        F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 1).alias("urlkey"),
+        F.to_timestamp(
+            F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 2), "yyyyMMddHHmmss"
+        ).alias("warc_ts"),
+        F.from_json(
+            F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 3), j_schema
+        ).alias("j"),
+    )
+    return (
+        parsed.filter((F.col("urlkey") != "") & F.col("j").isNotNull())
+        .select(
+            "urlkey",
+            "warc_ts",
+            F.col("j.url").alias("url"),
+            F.col("j.status").cast("int").alias("status"),
+            F.col("j.mime").alias("mime"),
+            F.col("j.digest").alias("digest"),
+            F.col("j.length").cast("long").alias("length"),
+            F.col("j.offset").cast("long").alias("offset"),
+            F.col("j.filename").alias("filename"),
+        )
+    )
+
+
 def discover_seeds_from_robots(
     robots_raw: DataFrame,
     pages: DataFrame,

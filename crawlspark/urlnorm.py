@@ -172,6 +172,23 @@ def host(col: Column) -> Column:
     return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(\[[^\]]*\]|[^/:?#]+)", 1)
 
 
+def surt(col: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform) of a canonical
+    URL — Common Crawl's CDX ``urlkey``: host labels reversed and
+    comma-joined, ``)`` separator, then path+query; scheme and a leading
+    ``www.`` dropped.  ``https://www.a.example.com/p?q=1`` →
+    ``com,example,a)/p?q=1``.  All built-ins (split/reverse/array_join),
+    fully JVM-side, so sorting/joining by crawl key never leaves codegen.
+    """
+    h = F.regexp_replace(F.lower(host(col)), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(h, r"\.")), ",")
+    rest = F.regexp_replace(
+        col, r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(\[[^\]]*\]|[^/:?#]+)", ""
+    )
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(rev, F.lit(")"), rest)
+
+
 def url_hash(col: Column) -> Column:
     """64-bit deterministic key for the seen set (B5) — JVM xxhash64."""
     return F.xxhash64(col)

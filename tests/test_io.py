@@ -251,3 +251,53 @@ def test_write_text_partitioned_by_host_bucket(spark, tmp_path):
     # flat mode still fine
     cio.write_text(df, str(tmp_path / "flat"))
     assert spark.read.parquet(str(tmp_path / "flat")).columns == ["url", "text"]
+
+
+def test_read_cdx_plain_and_gz(spark, tmp_path):
+    import gzip as _gzip
+
+    from crawlspark import io as cio
+    from crawlspark import urlnorm
+    from pyspark.sql import functions as F
+
+    lines = [
+        'com,example)/p?q=1 20260101123456 {"url": "https://example.com/p?q=1", '
+        '"mime": "text/html", "status": "200", "digest": "AAA", "length": "123", '
+        '"offset": "456", "filename": "crawl/a.warc.gz"}',
+        'org,host)/ 20251231000000 {"url": "http://host.org/", "status": "301", '
+        '"mime": "text/html", "digest": "BBB", "length": "10", "offset": "0", '
+        '"filename": "crawl/b.warc.gz"}',
+        "malformed line without json",
+    ]
+    d = tmp_path / "cdx"
+    d.mkdir()
+    (d / "part1.cdxj").write_text("\n".join(lines[:1]) + "\n")
+    (d / "part2.cdxj.gz").write_bytes(_gzip.compress(("\n".join(lines[1:]) + "\n").encode()))
+    out = {r["urlkey"]: r for r in cio.read_cdx(spark, str(d)).collect()}
+    assert set(out) == {"com,example)/p?q=1", "org,host)/"}
+    a = out["com,example)/p?q=1"]
+    assert a["url"] == "https://example.com/p?q=1"
+    assert a["status"] == 200 and a["length"] == 123 and a["offset"] == 456
+    assert a["warc_ts"].year == 2026 and a["warc_ts"].second == 56
+    assert out["org,host)/"]["status"] == 301
+    # engine surt() reproduces the index's urlkey for the canonical url
+    k = (
+        spark.createDataFrame([("https://example.com/p?q=1",)], "url string")
+        .select(urlnorm.surt(F.col("url")).alias("k"))
+        .collect()[0]["k"]
+    )
+    assert k == "com,example)/p?q=1"
+
+
+def test_surt_goldens(spark):
+    from crawlspark import urlnorm
+    from pyspark.sql import functions as F
+
+    cases = {
+        "https://www.a.example.com/p?q=1": "com,example,a)/p?q=1",
+        "https://example.com": "com,example)/",
+        "http://sub.host.org/x/y": "org,host,sub)/x/y",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["k"] for r in df.select("url", urlnorm.surt(F.col("url")).alias("k")).collect()}
+    assert got == cases
