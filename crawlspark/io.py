@@ -177,8 +177,8 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
     parsed = spark.read.text(path).select(
         F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 1).alias("urlkey"),
-        F.to_timestamp(
-            F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 2), "yyyyMMddHHmmss"
+        F.try_to_timestamp(
+            F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 2), F.lit("yyyyMMddHHmmss")
         ).alias("warc_ts"),
         F.from_json(
             F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 3), j_schema
@@ -190,11 +190,11 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
             "urlkey",
             "warc_ts",
             F.col("j.url").alias("url"),
-            F.col("j.status").cast("int").alias("status"),
+            F.col("j.status").try_cast("int").alias("status"),
             F.col("j.mime").alias("mime"),
             F.col("j.digest").alias("digest"),
-            F.col("j.length").cast("long").alias("length"),
-            F.col("j.offset").cast("long").alias("offset"),
+            F.col("j.length").try_cast("long").alias("length"),
+            F.col("j.offset").try_cast("long").alias("offset"),
             F.col("j.filename").alias("filename"),
         )
     )

@@ -280,20 +280,28 @@ def host_reputation(
 
 
 def reputation_priorities(
-    frontier: DataFrame, reputation: DataFrame, scale: float = 1.0
+    frontier: DataFrame,
+    reputation: DataFrame,
+    scale: float = 1.0,
+    baseline: float = 0.5,
 ) -> DataFrame:
     """(url, priority) for :func:`with_priorities`: frontier urls inherit
-    their host's reputation (higher rep → more-negative priority → fetched
-    earlier under the ascending host order).  Unknown hosts get neutral
-    0.0 by the ``with_priorities`` left-join contract — new hosts are
-    explored, not starved.  The reputation side is (host, rep) — tiny
-    next to the frontier — and broadcast.
+    ``-(rep - baseline) * scale`` from their host — above-baseline hosts
+    go negative (fetched earlier), BELOW-baseline hosts go positive and
+    rank behind the neutral 0.0 that unknown hosts get from the
+    ``with_priorities`` left-join contract.  Without the baseline every
+    known host (even a rep≈0 link farm) would outrank every unexplored
+    host, inverting the starve-the-farms goal.  The reputation side is
+    (host, rep) — tiny next to the frontier — and broadcast.
     """
     rep = F.broadcast(reputation.select("host", "rep"))
     return (
         frontier.select("url", urlnorm.host(F.col("url")).alias("host"))
         .join(rep, "host")
-        .select("url", (-F.col("rep") * F.lit(scale)).alias("priority"))
+        .select(
+            "url",
+            (-(F.col("rep") - F.lit(baseline)) * F.lit(scale)).alias("priority"),
+        )
     )
 
 

@@ -4,8 +4,10 @@ At 10^10-frontier scale the cheapest byte is the one never fetched:
 URL-string heuristics (session ids, calendar traps, binary extensions,
 pathological length/depth) and host blocklists drop a large fraction of
 frontier candidates before any scheduling or fetching happens.  Everything
-here is built-in expressions (codegen, pushable) except nothing — there is
-deliberately no Python in this module's hot path.
+here is built-in expressions (codegen, pushable); url parsing uses the
+``try_`` variants so malformed junk is FLAGGED, never a crash — under
+Spark 4's default ANSI mode ``parse_url`` throws on exactly the URLs this
+module exists to drop.
 
 Flag definitions follow the common public crawl-pipeline heuristics
 (CommonCrawl/C4/FineWeb-style URL filtering); thresholds are arguments.
@@ -21,11 +23,29 @@ from . import urlnorm
 # crawler-trap & junk signals as single-pass regexes (case-insensitive
 # where the wild web needs it)
 _SESSION_RE = r"(?i)[?&;](sid|sessionid|phpsessid|jsessionid|cfid|cftoken|s_kwcid)="
-_CALENDAR_RE = r"/\d{4}[-/]\d{1,2}([-/]\d{1,2})?(/|$)"
+# calendar LISTING pages end at the date (/2026/03/ or /2026-03-04);
+# date-permalink ARTICLES (/2026/03/04/slug) continue past it and are some
+# of the highest-quality corpus content — they must NOT be flagged
+_CALENDAR_RE = r"/\d{4}[-/]\d{1,2}([-/]\d{1,2})?/?$"
+# anchored to the end of the PATH (a ?file=report.pdf query value must not
+# flag the HTML page serving it)
 _BINARY_EXT_RE = (
     r"(?i)\.(jpe?g|png|gif|webp|bmp|ico|svg|tiff?|mp3|mp4|avi|mov|mkv|wmv|flv|"
     r"ogg|wav|zip|gz|bz2|xz|7z|rar|tar|exe|msi|dmg|iso|bin|apk|jar|"
-    r"pdf|ppsx?|pptx?|xlsx?|docx?|epub|swf|css|js|woff2?|ttf|eot)([?#]|$)"
+    r"pdf|ppsx?|pptx?|xlsx?|docx?|epub|swf|css|js|woff2?|ttf|eot)/?$"
+)
+
+# single source of truth for flag names: url_flags aliases and flag_urls'
+# url_keep conjunction both derive from this list
+FLAG_NAMES = (
+    "f_too_long",
+    "f_too_deep",
+    "f_too_many_params",
+    "f_session_id",
+    "f_calendar",
+    "f_binary_ext",
+    "f_path_loop",
+    "f_unparsable",
 )
 
 
@@ -35,35 +55,33 @@ def url_flags(
     max_depth: int = 8,
     max_params: int = 6,
 ) -> list[Column]:
-    """Boolean spam/trap flag columns for a URL column (all built-ins)."""
-    path = F.parse_url(url_col, F.lit("PATH"))
-    query = F.parse_url(url_col, F.lit("QUERY"))
-    return [
-        (F.length(url_col) > max_len).alias("f_too_long"),
-        (
-            F.size(F.split(F.coalesce(path, F.lit("")), "/")) - 1 > max_depth
-        ).alias("f_too_deep"),
-        (
-            F.size(F.split(F.coalesce(query, F.lit("")), "&")) > max_params
-        ).alias("f_too_many_params"),
-        url_col.rlike(_SESSION_RE).alias("f_session_id"),
-        F.coalesce(path, F.lit("")).rlike(_CALENDAR_RE).alias("f_calendar"),
-        url_col.rlike(_BINARY_EXT_RE).alias("f_binary_ext"),
+    """Boolean spam/trap flag columns for a URL column (all built-ins);
+    order matches :data:`FLAG_NAMES`."""
+    path = F.try_parse_url(url_col, F.lit("PATH"))
+    query = F.try_parse_url(url_col, F.lit("QUERY"))
+    p = F.coalesce(path, F.lit(""))
+    q = F.coalesce(query, F.lit(""))
+    cols = [
+        F.length(url_col) > max_len,
+        F.size(F.split(p, "/")) - 1 > max_depth,
+        F.size(F.split(q, "&")) > max_params,
+        url_col.rlike(_SESSION_RE),
+        p.rlike(_CALENDAR_RE),
+        p.rlike(_BINARY_EXT_RE),
         # /a/b/a/b/a/b… repetition — the classic symlink/router loop trap
-        F.coalesce(path, F.lit("")).rlike(r"(/[^/]+/[^/]+)\1\1").alias("f_path_loop"),
+        p.rlike(r"(/[^/]+/[^/]+)\1\1"),
+        # parser rejected it entirely (malformed junk)
+        path.isNull() & url_col.isNotNull(),
     ]
+    return [c.alias(n) for c, n in zip(cols, FLAG_NAMES)]
 
 
 def flag_urls(df: DataFrame, url_col: str = "url", **thresholds) -> DataFrame:
     """Append the flag columns plus ``url_keep`` (true = no flag fired)."""
     flags = url_flags(F.col(url_col), **thresholds)
     out = df.select("*", *flags)
-    names = [f"f_{n}" for n in (
-        "too_long", "too_deep", "too_many_params", "session_id",
-        "calendar", "binary_ext", "path_loop",
-    )]
     keep = F.lit(True)
-    for n in names:
+    for n in FLAG_NAMES:
         keep = keep & ~F.col(n)
     return out.withColumn("url_keep", keep)
 
@@ -74,15 +92,18 @@ def filter_urls(df: DataFrame, url_col: str = "url", **thresholds) -> DataFrame:
     return flagged.filter(F.col("url_keep")).select(*df.columns)
 
 
-def host_suffixes(host_col: Column, max_labels: int = 6) -> Column:
+def host_suffixes(host_col: Column) -> Column:
     """All dot-suffixes of a host (``a.b.c`` → [a.b.c, b.c, c]) — the join
     key set for suffix blocklists, built with sequence+transform (no UDF).
+    Uncapped: a cap would make deep-subdomain blocklist entries silently
+    unmatchable (even against the exact host they name); label counts are
+    DNS-bounded, so the array stays small.
     """
     parts = F.split(host_col, r"\.")
-    n = F.least(F.size(parts), F.lit(max_labels))
+    n = F.size(parts)
     return F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(".", F.slice(parts, F.size(parts) - i + 1, i)),
+        lambda i: F.concat_ws(".", F.slice(parts, n - i + 1, i)),
     )
 
 
@@ -97,13 +118,13 @@ def apply_host_blocklist(
     ``example.com``, or ``com`` — standard blocklist semantics).
 
     Scale shape: joins stay on thin host keys only — DISTINCT frontier
-    hosts → explode the (bounded, ≤6) suffix set → semi join the broadcast
-    blocklist → the blocked-host set, then one anti join of the frontier
-    against it on ``host``.  Row payloads (html, text) never enter a join
-    key and never shuffle; no regex scan over patterns, no per-pattern
-    pass.  The blocked-host set is ⊆ the frontier's distinct hosts and is
-    broadcast — at 10^10 urls distinct hosts are ~10^7 and blocked ones a
-    fraction of that.
+    hosts → explode the suffix set → semi join the broadcast blocklist →
+    the blocked-host set, then one anti join of the frontier against it on
+    ``host``.  Row payloads (html, text) never enter a join key and never
+    shuffle; no regex scan over patterns, no per-pattern pass.  The
+    blocked-host set is ⊆ the frontier's distinct hosts and is broadcast —
+    at 10^10 urls distinct hosts are ~10^7 and blocked ones a fraction of
+    that.
     """
     b = F.broadcast(
         blocked.select(F.col(blocked_col).alias("__sfx")).distinct()

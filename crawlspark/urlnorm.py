@@ -175,18 +175,36 @@ def host(col: Column) -> Column:
 def surt(col: Column) -> Column:
     """SURT key (Sort-friendly URI Reordering Transform) of a canonical
     URL — Common Crawl's CDX ``urlkey``: host labels reversed and
-    comma-joined, ``)`` separator, then path+query; scheme and a leading
-    ``www.`` dropped.  ``https://www.a.example.com/p?q=1`` →
-    ``com,example,a)/p?q=1``.  All built-ins (split/reverse/array_join),
-    fully JVM-side, so sorting/joining by crawl key never leaves codegen.
+    comma-joined (non-default port kept after the host part), ``)``
+    separator, then LOWERCASED path + alphabetically-sorted query; scheme
+    and a leading ``www.`` dropped.  ``https://www.a.example.com/P?b=2&a=1``
+    → ``com,example,a)/p?a=1&b=2``.  All built-ins (split/reverse/
+    array_join/array_sort), fully JVM-side, so sorting/joining by crawl
+    key — e.g. against :func:`io.read_cdx` urlkeys — never leaves codegen.
     """
     h = F.regexp_replace(F.lower(host(col)), r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(h, r"\.")), ",")
-    rest = F.regexp_replace(
-        col, r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(\[[^\]]*\]|[^/:?#]+)", ""
+    port = F.regexp_extract(
+        col, r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?:\[[^\]]*\]|[^/:?#]+):(\d+)", 1
     )
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    return F.concat(rev, F.lit(")"), rest)
+    hostpart = F.concat(
+        rev, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit(""))
+    )
+    rest = F.lower(
+        F.regexp_replace(
+            col,
+            r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(\[[^\]]*\]|[^/:?#]+)(:\d+)?",
+            "",
+        )
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*\??", "")
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    rest2 = F.when(query == "", path).otherwise(
+        F.concat(path, F.lit("?"), sorted_q)
+    )
+    rest2 = F.when(rest2 == "", F.lit("/")).otherwise(rest2)
+    return F.concat(hostpart, F.lit(")"), rest2)
 
 
 def url_hash(col: Column) -> Column:

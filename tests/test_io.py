@@ -297,7 +297,33 @@ def test_surt_goldens(spark):
         "https://www.a.example.com/p?q=1": "com,example,a)/p?q=1",
         "https://example.com": "com,example)/",
         "http://sub.host.org/x/y": "org,host,sub)/x/y",
+        # CC urlkey rules: lowercase path, alphabetized query, port kept
+        # inside the host part, userinfo dropped
+        "https://example.com/Path?b=2&a=1": "com,example)/path?a=1&b=2",
+        "https://example.com:8080/p": "com,example:8080)/p",
+        "https://user@example.com:8080/P?z=1&a=2": "com,example:8080)/p?a=2&z=1",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {r["url"]: r["k"] for r in df.select("url", urlnorm.surt(F.col("url")).alias("k")).collect()}
     assert got == cases
+
+
+def test_read_cdx_survives_bad_values(spark, tmp_path):
+    """Invalid timestamps / non-numeric fields null out (try_ variants);
+    they must never abort the whole index scan (default ANSI mode)."""
+    from crawlspark import io as cio
+
+    lines = [
+        'com,x)/ 20261399999999 {"url": "https://x.com/", "status": "-", '
+        '"length": "n/a", "offset": "0", "filename": "f"}',
+        'com,y)/ 20260101000000 {"url": "https://y.com/", "status": "200", '
+        '"length": "5", "offset": "7", "filename": "g"}',
+    ]
+    d = tmp_path / "cdxbad"
+    d.mkdir()
+    (d / "p.cdxj").write_text("\n".join(lines) + "\n")
+    out = {r["urlkey"]: r for r in cio.read_cdx(spark, str(d)).collect()}
+    assert out["com,x)/"]["warc_ts"] is None      # month 13
+    assert out["com,x)/"]["status"] is None       # "-"
+    assert out["com,x)/"]["length"] is None       # "n/a"
+    assert out["com,y)/"]["status"] == 200 and out["com,y)/"]["length"] == 5

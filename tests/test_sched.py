@@ -312,6 +312,7 @@ def test_host_reputation_and_priorities(spark):
         frontier, sched.host_reputation(docs, dup_col="is_dup")
     )
     got = {r["url"]: r["priority"] for r in prios.collect()}
-    # higher reputation → more negative priority → scheduled earlier
-    assert got["https://good.site/new"] < got["https://farm.site/new"] < 0
+    # above-baseline hosts go negative (earlier); the dup-ridden farm
+    # (rep 0.2 < baseline) goes POSITIVE — behind unknown hosts' 0.0
+    assert got["https://good.site/new"] < 0 < got["https://farm.site/new"]
     assert "https://fresh.site/new" not in got  # unknown host stays neutral via with_priorities

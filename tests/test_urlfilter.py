@@ -16,6 +16,9 @@ CASES = [
     ("https://example.com/doc.pdf?dl=1", False, "binary extension with query"),
     ("https://example.com/a/b/a/b/a/b/x", False, "path loop"),
     ("https://example.com/2026-review", True, "year alone is not a calendar"),
+    ("https://news.example/2024/06/03/report", True, "date PERMALINK articles are kept"),
+    ("https://example.com/download?file=report.pdf", True, "extension in query value is not a binary path"),
+    ("https://example.com/a b", False, "malformed (unparsable) url is flagged, not a crash"),
     ("https://example.com/p?a=1&b=2", True, "few params fine"),
 ]
 
@@ -44,6 +47,14 @@ def test_host_suffixes_expr(spark):
     }
     assert got["a.b.co.uk"] == ["uk", "co.uk", "b.co.uk", "a.b.co.uk"]
     assert got["localhost"] == ["localhost"]
+
+
+def test_deep_subdomain_blocklist_entry_matches_itself(spark):
+    deep = "x.y.z.w.v.u.t.example.com"
+    df = spark.createDataFrame([(f"https://{deep}/p", 1), ("https://ok.example/q", 2)], "url string, n long")
+    blocked = spark.createDataFrame([(deep,)], "host_suffix string")
+    kept = [r["n"] for r in urlfilter.apply_host_blocklist(df, blocked).collect()]
+    assert kept == [2]
 
 
 def test_apply_host_blocklist_suffix_semantics(spark):
