@@ -752,3 +752,63 @@ def clean_corpus(
     base = exact_dedup(base, id_col, text_col)
     pairs = minhash_dedup_pairs(base, id_col, text_col, threshold=minhash_threshold)
     return neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LM sequence packing as a distributed MAP, not a materialized concat:
+    documents are laid out end-to-end in deterministic order (``id_col``
+    asc within ``group_col``) and chunked into fixed ``seq_len``-token
+    sequences; the output tells each trainer shard exactly which token
+    span of which document lands in which sequence:
+
+    ``(group?, seq_id, doc_id, doc_start, seq_start, n_toks)`` — tokens
+    ``[doc_start, doc_start+n_toks)`` of ``doc_id`` occupy positions
+    ``[seq_start, seq_start+n_toks)`` of sequence ``seq_id``.  A document
+    crossing a boundary yields one row per sequence it touches
+    (``sequence()`` + ``explode`` — no per-row Python, no giant concat
+    string ever built).
+
+    One window cumsum per group; with no ``group_col`` the window is
+    single-partition — same contract as :func:`pack_corpus`: pass a group
+    at corpus scale (packing is per-shard in real pipelines anyway).
+    """
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        df.select(
+            *part,
+            F.col(id_col),
+            # split('') yields [''], so empty/blank docs must zero explicitly
+            F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+            .otherwise(F.size(words_col(F.col(text_col))))
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cum_end", F.sum("n_tokens").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    first_seq = (F.col("cum_start") / seq_len).cast("long")
+    last_seq = ((F.col("cum_end") - 1) / seq_len).cast("long")
+    exploded = base.withColumn(
+        "seq_id", F.explode(F.sequence(first_seq, last_seq))
+    )
+    span_start = F.greatest(F.col("cum_start"), F.col("seq_id") * seq_len)
+    span_end = F.least(F.col("cum_end"), (F.col("seq_id") + 1) * seq_len)
+    return exploded.select(
+        *part,
+        "seq_id",
+        F.col(id_col),
+        (span_start - F.col("cum_start")).alias("doc_start"),
+        (span_start - F.col("seq_id") * seq_len).alias("seq_start"),
+        (span_end - span_start).alias("n_toks"),
+    )

@@ -354,3 +354,55 @@ def test_clean_corpus_end_to_end(spark):
         "doc_id", "text", "pred_lang", "quality", "dup_line_frac",
         "top_bigram_char_frac",
     }
+
+
+def test_pack_sequences_vs_python_oracle(spark):
+    docs = [
+        (1, "a " * 7),     # 7 tokens
+        (2, "b " * 10),    # 10 tokens: crosses the 8-boundary twice
+        (3, "c " * 3),
+        (4, ""),           # empty doc dropped
+        (5, "d " * 8),     # exactly one full sequence worth
+    ]
+    seq_len = 8
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_start"], r["seq_start"], r["n_toks"])
+        for r in textops.pack_sequences(df, seq_len).collect()
+    )
+
+    # python oracle: lay out in id order, chunk
+    expect = []
+    pos = 0
+    for doc_id, text in docs:
+        n = len(text.split())
+        if n == 0:
+            continue
+        d = 0
+        while d < n:
+            seq_id = (pos + d) // seq_len
+            take = min(n - d, (seq_id + 1) * seq_len - (pos + d))
+            expect.append((seq_id, doc_id, d, (pos + d) % seq_len, take))
+            d += take
+        pos += n
+    assert got == sorted(expect)
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for seq_id, *_rest, n_toks in [(g[0], g[4]) for g in got]:
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + n_toks
+    last = max(per_seq)
+    assert all(v == seq_len for s, v in per_seq.items() if s != last)
+
+
+def test_pack_sequences_grouped(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 5), (2, "en", "w " * 5), (3, "de", "w " * 9)],
+        "doc_id long, lang string, text string",
+    )
+    out = textops.pack_sequences(df, 4, group_col="lang")
+    rows = sorted(
+        (r["lang"], r["seq_id"], r["doc_id"], r["n_toks"]) for r in out.collect()
+    )
+    # each group packs independently from seq 0
+    assert ("de", 0, 3, 4) in rows and ("de", 2, 3, 1) in rows
+    assert ("en", 0, 1, 4) in rows and ("en", 2, 2, 2) in rows
