@@ -223,6 +223,45 @@ def robots_from_text(
     )
 
 
+def robots_raw_from_pages(pages: DataFrame) -> DataFrame:
+    """(host, robots_txt) raw bodies mined from the pages corpus itself —
+    the self-contained path for a Common-Crawl-style corpus, which stores
+    each host's ``/robots.txt`` capture like any other page.
+
+    Per host, the LATEST capture wins (``max_by`` on ``warc_ts`` — one
+    map-side-combined hash-aggregate over only the robots rows, which the
+    url filter prunes at the scan).  Bodies decode UTF-8-strict → Latin-1
+    (never fails), matching the extractors' contract.  Compose:
+    ``robots_from_text(robots_raw_from_pages(pages))`` and/or
+    ``robots_sitemaps(...)`` / ``io.discover_seeds_from_robots(...)``.
+    """
+    from . import urlnorm
+
+    robots_rows = pages.filter(
+        F.col("url").rlike(r"^[a-z][a-z0-9+.-]*://[^/]+/robots\.txt$")
+    ).select(
+        urlnorm.host(F.col("url")).alias("host"), F.col("warc_ts"), F.col("html")
+    )
+
+    @pandas_udf(StringType())
+    def _decode(bodies: pd.Series) -> pd.Series:
+        def dec(b):
+            if b is None:
+                return None
+            try:
+                return bytes(b).decode("utf-8")
+            except UnicodeDecodeError:
+                return bytes(b).decode("latin-1")
+
+        return bodies.map(dec)
+
+    return (
+        robots_rows.groupBy("host")
+        .agg(F.max_by("html", "warc_ts").alias("__body"))
+        .select("host", _decode(F.col("__body")).alias("robots_txt"))
+    )
+
+
 def robots_sitemaps(
     raw: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
 ) -> DataFrame:

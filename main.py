@@ -40,6 +40,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     )
     p.add_argument("--agent", default="crawlspark", help="user-agent for robots.txt group matching")
     p.add_argument(
+        "--robots-from-pages",
+        action="store_true",
+        help="self-contained mode: mine each host's latest /robots.txt "
+        "capture out of the pages corpus itself (no --robots/--robots-txt "
+        "input needed); combines with --discover-sitemaps",
+    )
+    p.add_argument(
         "--discover-sitemaps",
         action="store_true",
         help="with --robots-txt: follow Sitemap: lines into the pages "
@@ -87,8 +94,8 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
 
 def main(argv: list[str]) -> int:
     args = parse_args(argv)
-    if args.discover_sitemaps and not args.robots_txt:
-        print("--discover-sitemaps requires --robots-txt", file=sys.stderr)
+    if args.discover_sitemaps and not (args.robots_txt or args.robots_from_pages):
+        print("--discover-sitemaps requires --robots-txt or --robots-from-pages", file=sys.stderr)
         return 2
 
     from pyspark.sql import functions as F
@@ -100,10 +107,13 @@ def main(argv: list[str]) -> int:
     spark = get_spark("crawlspark", master=None)
     pages = io.read_pages(spark, args.pages, fmt=args.pages_format)
     seeds = io.read_seeds(spark, args.seeds)
-    if args.robots_txt:
+    if args.robots_txt or args.robots_from_pages:
         from crawlspark import polite
 
-        raw = spark.read.parquet(args.robots_txt)
+        if args.robots_from_pages:
+            raw = polite.robots_raw_from_pages(pages)
+        else:
+            raw = spark.read.parquet(args.robots_txt)
         robots = polite.robots_from_text(raw, agent=args.agent)
         if args.discover_sitemaps:
             found = io.discover_seeds_from_robots(raw, pages).select("url")

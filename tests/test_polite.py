@@ -160,3 +160,34 @@ def test_parse_robots_never_raises(body, agent):
         assert isinstance(r["pattern"], str) and isinstance(r["allow"], bool)
         assert "*" not in r["pattern"] and "$" not in r["pattern"]
     assert p["crawl_delay"] is None or isinstance(p["crawl_delay"], float)
+
+
+def test_robots_raw_from_pages_latest_capture_wins(spark):
+    import datetime
+
+    old_body = b"User-agent: *\nDisallow: /old/\n"
+    new_body = b"User-agent: *\nDisallow: /new/\nCrawl-delay: 2\n"
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 6, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://h1.example/robots.txt", t0, bytearray(old_body), None, None),
+            ("https://h1.example/robots.txt", t1, bytearray(new_body), None, None),
+            ("https://h2.example/robots.txt", t0, bytearray(b"\xffUser-agent: *\n"), None, None),
+            ("https://h1.example/robots.txt.bak", t0, bytearray(b"x"), None, None),
+            ("https://h1.example/page", t0, bytearray(b"<html></html>"), None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    raw = {r["host"]: r["robots_txt"] for r in polite.robots_raw_from_pages(pages).collect()}
+    assert set(raw) == {"h1.example", "h2.example"}
+    assert "Disallow: /new/" in raw["h1.example"]       # as-of pick
+    assert "Disallow: /old/" not in raw["h1.example"]
+    assert raw["h2.example"].startswith("ÿ")            # latin-1 fallback, no crash
+
+    rules = polite.robots_from_text(polite.robots_raw_from_pages(pages))
+    got = {r["host"]: r for r in rules.collect()}
+    assert got["h1.example"]["crawl_delay"] == 2.0
+    assert [r.asDict() for r in got["h1.example"]["rules"]] == [
+        {"pattern": "/new/", "allow": False}
+    ]
