@@ -181,3 +181,38 @@ def load_snapshot(
 
 def bloom_path(root: str, run_id: str, round_no: int) -> str:
     return os.path.join(_round_dir(root, run_id, round_no), "bloom")
+
+
+def gc_snapshots(root: str, run_id: str, keep_last: int = 2) -> list[int]:
+    """Snapshot retention: delete all but the newest ``keep_last`` COMMITTED
+    rounds of a run and return the deleted round numbers.
+
+    Every committed round stores the FULL (frontier, seen) state, so older
+    rounds are redundant for resume — retaining more than one only buys
+    point-in-time rollback.  Uncommitted round dirs (no manifest — a crash
+    mid-write) older than the newest committed round are removed too; a
+    NEWER uncommitted dir is left alone, since it may be a commit in
+    progress.  ``keep_last`` < 1 is rejected — the run must stay resumable.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    committed = committed_rounds(root, run_id)
+    if not committed:
+        return []
+    keep = set(committed[-keep_last:])
+    newest = committed[-1]
+    base = os.path.join(root, run_id)
+    deleted: list[int] = []
+    for name in os.listdir(base):
+        if not name.startswith("round="):
+            continue
+        r = int(name.split("=", 1)[1])
+        is_committed = r in committed
+        if r in keep or (not is_committed and r > newest):
+            continue
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        if is_committed:
+            deleted.append(r)
+    return sorted(deleted)

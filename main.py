@@ -61,6 +61,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--snapshot-root", default=None)
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--gc-keep",
+        type=int,
+        default=None,
+        help="after the crawl, delete all but the newest N committed "
+        "snapshot rounds (full state per round — older rounds only buy "
+        "point-in-time rollback)",
+    )
     p.add_argument("--out", default=None, help="extracted-text sink path")
     p.add_argument(
         "--url-filter",
@@ -162,6 +170,11 @@ def main(argv: list[str]) -> int:
     )
     n = result["fetch_log"].count()
     print(f"crawl {result['run_id']}: {result['rounds_run']} rounds, {n} urls fetched")
+    if args.gc_keep and args.snapshot_root:
+        from crawlspark import state
+
+        deleted = state.gc_snapshots(args.snapshot_root, result["run_id"], args.gc_keep)
+        print(f"snapshot gc: removed rounds {deleted}, kept newest {args.gc_keep}")
     if args.out:
         io.write_text(result["extracted"], args.out)
         print(f"extracted text written to {args.out}")

@@ -82,3 +82,37 @@ def test_latest_round_selected(spark, small_state, tmp_path):
     _, _, rnd, mf = state.load_snapshot(spark, root, "run1")
     assert rnd == 2
     assert mf["parent_round"] == 1
+
+
+def test_gc_snapshots_retention(spark, tmp_path):
+    import os
+
+    from crawlspark import state
+
+    root, run_id = str(tmp_path), "gcrun"
+    fr = spark.createDataFrame(
+        [("https://h/x", 1, "h", 0.0, 0, 0, 0)],
+        "url string, url_hash long, host string, priority double, depth int, "
+        "discovered_round int, bucket int",
+    )
+    seen = spark.createDataFrame([(1, 0)], "url_hash long, bucket int")
+    for r in range(4):
+        state.commit_snapshot(root, run_id, r, fr, seen)
+    # an uncommitted (crashed) older dir and a newer in-progress dir
+    os.makedirs(os.path.join(root, run_id, "round=1crash", ), exist_ok=True)
+    os.rename(
+        os.path.join(root, run_id, "round=1crash"),
+        os.path.join(root, run_id, "round=9"),
+    )
+    deleted = state.gc_snapshots(root, run_id, keep_last=2)
+    assert deleted == [0, 1]
+    assert state.committed_rounds(root, run_id) == [2, 3]
+    # newer uncommitted dir untouched (may be a commit in progress)
+    assert os.path.isdir(os.path.join(root, run_id, "round=9"))
+    # resume still works from the newest kept round
+    f2, s2, r2, _ = state.load_snapshot(spark, root, run_id)
+    assert r2 == 3 and f2.count() == 1 and s2.count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        state.gc_snapshots(root, run_id, keep_last=0)
