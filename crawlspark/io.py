@@ -168,14 +168,32 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     filename) — join ``filename``/``offset``/``length`` against WARC
     archives for payload fetch, or feed ``url`` straight into the frontier.
     Everything is built-in parsing (regexp split + from_json), fully
-    pushed-down/codegen; malformed lines yield nulls and are dropped.
+    pushed-down/codegen; malformed lines yield nulls and are dropped
+    (``try_`` variants — default ANSI mode must not abort an index scan
+    on one bad line).
     """
+    return _parse_cdx_lines(spark.read.text(path))
+
+
+def read_cdx_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_cdx`: watch a directory for newly
+    landed CDXJ shards (how a continuously-published crawl index arrives)
+    and emit parsed index rows incrementally — feed into a foreachBatch
+    frontier update or any windowed metric.  Identical schema and parse
+    to the batch reader; exactly-once per shard comes from the file
+    source's checkpointed file tracking.
+    """
+    lines = spark.readStream.format("text").load(path)
+    return _parse_cdx_lines(lines)
+
+
+def _parse_cdx_lines(lines: DataFrame) -> DataFrame:
     line = F.col("value")
     j_schema = (
         "url string, mime string, status string, digest string, "
         "length string, offset string, filename string"
     )
-    parsed = spark.read.text(path).select(
+    parsed = lines.select(
         F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 1).alias("urlkey"),
         F.try_to_timestamp(
             F.regexp_extract(line, r"^(\S+) (\d{14}) (.*)$", 2), F.lit("yyyyMMddHHmmss")

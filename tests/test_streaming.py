@@ -170,3 +170,45 @@ def test_stateful_seen_apply(spark, page_dir, tmp_path):
     hashes = [r["url_hash"] for r in rows]
     assert len(hashes) == len(set(hashes)) == n_urls
     assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
+def test_read_cdx_stream_incremental_shards(spark, tmp_path):
+    """New CDXJ shards landing in the directory are parsed incrementally;
+    each shard is processed exactly once (file-source checkpointing)."""
+    from crawlspark import io as cio
+
+    src = tmp_path / "cdx"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(name, keys):
+        (src / name).write_text(
+            "\n".join(
+                f'{k} 20260101000000 {{"url": "https://{k.split(")")[0].replace(",", ".")}/", '
+                f'"status": "200", "filename": "f"}}'
+                for k in keys
+            )
+            + "\n"
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            cio.read_cdx_stream(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r["urlkey"] for r in spark.read.parquet(out).collect()]
+
+    shard("a.cdxj", ["com,one)/", "com,two)/"])
+    assert sorted(drain()) == ["com,one)/", "com,two)/"]
+    shard("b.cdxj", ["org,three)/"])
+    got = drain()
+    # restart picks up only the NEW shard (checkpointed file tracking):
+    # three rows total, each urlkey exactly once
+    assert sorted(got) == ["com,one)/", "com,two)/", "org,three)/"]
