@@ -187,6 +187,27 @@ def read_cdx_stream(spark: SparkSession, path: str) -> DataFrame:
     return _parse_cdx_lines(lines)
 
 
+def dedup_cdx_digest(cdx: DataFrame, keep: str = "latest") -> DataFrame:
+    """Content-seen dedup at the INDEX level: one record per content
+    ``digest`` (CC stores a payload hash per capture), picked as-of
+    ``latest``/``earliest`` ``warc_ts`` — identical bytes served from many
+    urls (mirrors, aliases, re-crawls) collapse before anything fetches a
+    payload.  One map-side-combined ``max_by``/``min_by`` aggregate over
+    thin index rows; null digests pass through untouched (no evidence =
+    no dedup).
+    """
+    if keep not in ("latest", "earliest"):
+        raise ValueError(f"keep must be latest|earliest, got {keep}")
+    agg = F.max_by if keep == "latest" else F.min_by
+    with_digest = cdx.filter(F.col("digest").isNotNull())
+    picked = (
+        with_digest.groupBy("digest")
+        .agg(agg(F.struct(*cdx.columns), "warc_ts").alias("__r"))
+        .select("__r.*")
+    )
+    return picked.unionByName(cdx.filter(F.col("digest").isNull()))
+
+
 def _parse_cdx_lines(lines: DataFrame) -> DataFrame:
     line = F.col("value")
     j_schema = (

@@ -327,3 +327,30 @@ def test_read_cdx_survives_bad_values(spark, tmp_path):
     assert out["com,x)/"]["status"] is None       # "-"
     assert out["com,x)/"]["length"] is None       # "n/a"
     assert out["com,y)/"]["status"] == 200 and out["com,y)/"]["length"] == 5
+
+
+def test_dedup_cdx_digest(spark):
+    import datetime
+
+    from crawlspark import io as cio
+
+    t = lambda d: datetime.datetime(2026, 1, d)  # noqa: E731
+    rows = [
+        ("k1", t(1), "https://a/x", 200, None, "DIG1", 1, 0, "f1"),
+        ("k2", t(5), "https://b/mirror", 200, None, "DIG1", 1, 0, "f2"),
+        ("k3", t(3), "https://c/y", 200, None, "DIG2", 1, 0, "f3"),
+        ("k4", t(9), "https://d/nodigest", 200, None, None, 1, 0, "f4"),
+    ]
+    schema = (
+        "urlkey string, warc_ts timestamp, url string, status int, mime string, "
+        "digest string, length long, offset long, filename string"
+    )
+    cdx = spark.createDataFrame(rows, schema)
+    latest = {r["urlkey"] for r in cio.dedup_cdx_digest(cdx).collect()}
+    assert latest == {"k2", "k3", "k4"}  # DIG1 → newest capture; null passes
+    earliest = {r["urlkey"] for r in cio.dedup_cdx_digest(cdx, keep="earliest").collect()}
+    assert earliest == {"k1", "k3", "k4"}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        cio.dedup_cdx_digest(cdx, keep="newest")
