@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import io as _iomod
+import os
 import zlib
 from datetime import datetime, timezone
 
@@ -152,8 +153,13 @@ def write_warc(records, path: str, compress: bool = False) -> None:
     ``records``: iterable of (url, warc_ts datetime, html bytes); written
     as ``response`` records with a minimal HTTP frame, one gzip member per
     record when ``compress`` (the Common Crawl layout).
+
+    Returns the offset index — a list of ``(url, offset, length)`` per
+    record as laid out in the file — exactly what a CDX index stores and
+    what :func:`read_records_at` consumes.
     """
     out = _iomod.BytesIO()
+    index: list[tuple[str, int, int]] = []
     for url, ts, html in records:
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
@@ -170,6 +176,7 @@ def write_warc(records, path: str, compress: bool = False) -> None:
             "\r\n"
         ).encode()
         record = header + http + b"\r\n\r\n"
+        start = out.tell()
         if compress:
             buf = _iomod.BytesIO()
             # mtime pinned for byte-determinism
@@ -178,5 +185,52 @@ def write_warc(records, path: str, compress: bool = False) -> None:
             out.write(buf.getvalue())
         else:
             out.write(record)
+        index.append((url, start, out.tell() - start))
     with open(path, "wb") as f:
         f.write(out.getvalue())
+    return index
+
+
+def read_records_at(
+    spark: SparkSession, warc_root: str, index: "DataFrame"
+) -> "DataFrame":
+    """Random-access payload fetch — Common Crawl's actual access pattern:
+    given index rows ``(filename, offset, length, …)`` (e.g. from
+    ``io.read_cdx``, optionally ``io.dedup_cdx_digest``-ed first), range-
+    read exactly those gzip members out of the archives and return
+    PAGES_SCHEMA-shaped rows, never scanning a whole archive for one page.
+
+    Scale shape: rows are grouped by ``filename`` (``applyInPandas`` — the
+    groupBy hash shuffle moves only thin index rows), so each task opens
+    its archive once and seeks per record; archives must be reachable from
+    executors (shared/local filesystem here; on a cluster, a fuse/NFS
+    mount or ranged object-store reads at the same call site).  Bad
+    offsets yield no row rather than failing the task.
+    """
+    import pandas as pd
+
+    from .schemas import PAGES_SCHEMA
+
+    idx = index.select("filename", "offset", "length")
+
+    def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        fname = pdf["filename"].iloc[0]
+        rows = []
+        try:
+            f = open(os.path.join(warc_root, fname), "rb")
+        except OSError:
+            return pd.DataFrame(columns=["url", "warc_ts", "html", "text", "lang"])
+        with f:
+            for off, ln in zip(pdf["offset"], pdf["length"]):
+                try:
+                    f.seek(int(off))
+                    blob = f.read(int(ln))
+                    for rec in parse_warc_stream(_maybe_gunzip(blob)):
+                        rows.append(
+                            (rec["url"], rec["warc_ts"], rec["html"], None, None)
+                        )
+                except Exception:
+                    continue
+        return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return idx.groupBy("filename").applyInPandas(_fetch, PAGES_SCHEMA)

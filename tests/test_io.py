@@ -354,3 +354,34 @@ def test_dedup_cdx_digest(spark):
 
     with _p.raises(ValueError):
         cio.dedup_cdx_digest(cdx, keep="newest")
+
+
+def test_read_records_at_random_access(spark, tmp_path):
+    """write_warc's returned offset index drives range reads: exactly the
+    requested records come back, whole-archive scan avoided."""
+    import datetime
+
+    from crawlspark import warc
+
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    recs_a = [(f"https://a.example/p{i}", ts, f"<html>a{i}</html>".encode()) for i in range(5)]
+    recs_b = [(f"https://b.example/p{i}", ts, f"<html>b{i}</html>".encode()) for i in range(3)]
+    idx_a = warc.write_warc(recs_a, str(tmp_path / "a.warc.gz"), compress=True)
+    idx_b = warc.write_warc(recs_b, str(tmp_path / "b.warc"), compress=False)
+
+    wanted = [
+        ("a.warc.gz", idx_a[1][1], idx_a[1][2]),
+        ("a.warc.gz", idx_a[4][1], idx_a[4][2]),
+        ("b.warc", idx_b[0][1], idx_b[0][2]),
+        ("b.warc", 999999, 10),          # bad offset: no row, no crash
+        ("missing.warc", 0, 10),         # missing file: no row, no crash
+    ]
+    index = spark.createDataFrame(wanted, "filename string, offset long, length long")
+    out = warc.read_records_at(spark, str(tmp_path), index)
+    got = {r["url"]: bytes(r["html"]) for r in out.collect()}
+    assert got == {
+        "https://a.example/p1": b"<html>a1</html>",
+        "https://a.example/p4": b"<html>a4</html>",
+        "https://b.example/p0": b"<html>b0</html>",
+    }
+    assert out.columns == ["url", "warc_ts", "html", "text", "lang"]
