@@ -385,3 +385,48 @@ def test_read_records_at_random_access(spark, tmp_path):
         "https://b.example/p0": b"<html>b0</html>",
     }
     assert out.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_cc_loop_cdx_to_extracted_text(spark, tmp_path):
+    """The complete Common-Crawl access loop: CDXJ index → digest dedup →
+    ranged WARC fetch → Arrow text extraction — no whole-archive scan."""
+    import datetime
+    import json as _json
+
+    from crawlspark import extract, io as cio, warc
+
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    recs = [
+        ("https://a.example/dup1", ts, b"<html><body>same bytes here</body></html>"),
+        ("https://a.example/dup2", ts, b"<html><body>same bytes here</body></html>"),
+        ("https://a.example/uniq", ts, b"<html><body>unique page text</body></html>"),
+    ]
+    fname = "seg.warc.gz"
+    idx = warc.write_warc(recs, str(tmp_path / fname), compress=True)
+
+    # CDXJ shard as the index would publish it (digest = payload identity)
+    lines = []
+    for (url, _, html), (u2, off, ln) in zip(recs, idx):
+        digest = "SAME" if b"same bytes" in html else "UNIQ"
+        lines.append(
+            f"key){url} 20260101000000 "
+            + _json.dumps(
+                {"url": url, "status": "200", "digest": digest,
+                 "length": str(ln), "offset": str(off), "filename": fname}
+            )
+        )
+    cdxdir = tmp_path / "cdx"
+    cdxdir.mkdir()
+    (cdxdir / "s.cdxj").write_text("\n".join(lines) + "\n")
+
+    index = cio.read_cdx(spark, str(cdxdir))
+    deduped = cio.dedup_cdx_digest(index)          # dup1/dup2 collapse to one
+    pages = warc.read_records_at(spark, str(tmp_path), deduped)
+    out = {
+        r["url"]: r["text"]
+        for r in pages.select("url", extract.text_udf("html").alias("text")).collect()
+    }
+    assert len(out) == 2
+    assert out["https://a.example/uniq"] == "unique page text"
+    dup_url = next(u for u in out if "dup" in u)
+    assert out[dup_url] == "same bytes here"
