@@ -248,6 +248,38 @@ def indegree_priorities(parsed: DataFrame, scale: float = 1.0) -> DataFrame:
     )
 
 
+def cap_frontier(
+    frontier: DataFrame, per_host: int, salt: int = config.SALT
+) -> DataFrame:
+    """Frontier growth control: keep at most ``per_host`` urls per host,
+    best-first under the engine's host order (priority, discovered_round,
+    depth, url) — at 10^10-frontier scale a handful of mega-hosts would
+    otherwise swamp storage and every downstream shuffle.
+
+    Salted two-phase top-k, same shape as :func:`schedule`: phase 1 ranks
+    inside bounded (host, salt) slices so no task ever materializes a
+    mega-host's full backlog; phase 2 re-ranks the ≤ salt×per_host
+    survivors per host exactly.  Deterministic; schema preserved.
+    """
+    cols = frontier.columns
+    sliced = frontier.withColumn(
+        "__salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "__salt").orderBy(*_HOST_ORDER)
+    provisional = (
+        sliced.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= per_host)
+        .drop("__r", "__salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_HOST_ORDER)
+    return (
+        provisional.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= per_host)
+        .drop("__r")
+        .select(*cols)
+    )
+
+
 def host_reputation(
     scored_docs: DataFrame,
     url_col: str = "url",

@@ -316,3 +316,47 @@ def test_host_reputation_and_priorities(spark):
     # (rep 0.2 < baseline) goes POSITIVE — behind unknown hosts' 0.0
     assert got["https://good.site/new"] < 0 < got["https://farm.site/new"]
     assert "https://fresh.site/new" not in got  # unknown host stays neutral via with_priorities
+
+
+def test_cap_frontier_per_host_best_first(spark):
+    rows = []
+    for h, n in (("mega.example", 50), ("small.example", 3)):
+        for i in range(n):
+            rows.append(
+                (f"https://{h}/p{i:03d}", hash((h, i)) % (2**31), h,
+                 float(i % 7), i % 5, 0, 0)
+            )
+    fr = spark.createDataFrame(
+        rows,
+        "url string, url_hash long, host string, priority double, depth int, "
+        "discovered_round int, bucket int",
+    )
+    capped = sched.cap_frontier(fr, per_host=10, salt=4)
+    by_host = {
+        r["host"]: r["n"]
+        for r in capped.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_host == {"mega.example": 10, "small.example": 3}
+    assert capped.columns == fr.columns
+    # best-first: the kept mega rows are exactly the global top-10 under
+    # the host order — compare against a plain single-window reference
+    from pyspark.sql import Window as W
+
+    ref = (
+        fr.filter(F.col("host") == "mega.example")
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                W.partitionBy("host").orderBy("priority", "discovered_round", "depth", "url")
+            ),
+        )
+        .filter(F.col("__r") <= 10)
+    )
+    a = sorted(r["url"] for r in capped.filter("host = 'mega.example'").collect())
+    b = sorted(r["url"] for r in ref.collect())
+    assert a == b
+    # deterministic across layouts
+    again = sorted(
+        r["url"] for r in sched.cap_frontier(fr.repartition(9), per_host=10, salt=4).collect()
+    )
+    assert again == sorted(r["url"] for r in capped.collect())
