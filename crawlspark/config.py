@@ -60,3 +60,9 @@ class CrawlConfig:
     # absorb); every this-many rounds the union is re-materialized flat so
     # plan depth stays bounded on long unsnapshotted crawls.
     seen_compact_rounds: int = 16
+    # frontier growth control: when set, each round's new frontier keeps at
+    # most this many urls per host (best-first, sched.cap_frontier) —
+    # mega-hosts can't swamp storage/shuffles between rounds.  None = off
+    # (default; capping drops urls, so the replay-exact contract applies
+    # only to the uncapped mode).
+    max_frontier_per_host: int | None = None

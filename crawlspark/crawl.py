@@ -218,6 +218,10 @@ def run_round(
     new_frontier = dedup.within(
         leftover.unionByName(discovered), stable=True
     ).join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    if cfg.max_frontier_per_host is not None:
+        new_frontier = sched.cap_frontier(
+            new_frontier, cfg.max_frontier_per_host, salt=cfg.salt
+        )
 
     if collect_metrics:
         m.append(metrics.stage_metrics(scheduled, run_id, round_no, "schedule"))

@@ -62,6 +62,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument(
+        "--max-frontier-per-host",
+        type=int,
+        default=None,
+        help="frontier growth control: keep at most N urls per host in "
+        "each round's new frontier (best-first; drops urls, so replay-"
+        "exact ordering applies only without it)",
+    )
+    p.add_argument(
         "--gc-keep",
         type=int,
         default=None,
@@ -142,6 +150,8 @@ def main(argv: list[str]) -> int:
         kw["salt"] = args.salt
     if args.persist_mode:
         kw["persist_mode"] = args.persist_mode
+    if args.max_frontier_per_host:
+        kw["max_frontier_per_host"] = args.max_frontier_per_host
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,

@@ -280,3 +280,18 @@ def test_quality_feedback_starves_junk_host(spark):
     # host is not starved
     assert fb["junkhost.example"] < base["junkhost.example"]
     assert fb["goodhost.example"] == base["goodhost.example"]
+
+
+def test_max_frontier_per_host_bounds_frontier(spark, fixtures):
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    import dataclasses
+
+    cfg_cap = dataclasses.replace(CFG, max_frontier_per_host=2)
+    result = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg_cap)
+    per_host = (
+        result["frontier"].groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_host  # crawl still progressed
+    assert all(r["n"] <= 2 for r in per_host)
+    # and it still fetched pages each round
+    assert result["fetch_log"].count() > 0
