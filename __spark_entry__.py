@@ -1001,8 +1001,13 @@ def multimodal_pipeline(spark, sf):
     from crawlspark import multimodal
 
     media = multimodal.synthesize_real_media(spark, 99)
+    # NOTE: the driver canonicalizer hashes values via pandas sort — top-level
+    # array/map/struct columns are unhashable there (r2's one red row), so the
+    # feature vector is emitted as a deterministic rounded-JSON string.
     feats = multimodal.decode_features(media, strict=False).select(
-        "media_id", "payload_sha256", "features"
+        "media_id",
+        "payload_sha256",
+        F.to_json(F.transform("features", lambda x: F.round(x, 5))).alias("features_json"),
     )
     meta = multimodal.media_metadata(media)
     return meta.join(feats, "media_id")

@@ -1,0 +1,53 @@
+"""Guards for the local correctness gate (tools/selfcheck.py).
+
+The driver canonicalizes every registered query's output with pandas
+sort_values, which raises ``TypeError: unhashable type: 'list'`` on any
+top-level array/map/struct column (round 2's one red CORRECTNESS row,
+``multimodal_pipeline``).  ``selfcheck.complex_cols`` is the local guard;
+these tests prove it fires on the synthetic failure class and that every
+registered query's schema is clean.
+"""
+
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+from selfcheck import complex_cols  # noqa: E402
+
+
+def test_guard_fires_on_array_map_struct(spark):
+    df = spark.range(2).select(
+        F.col("id"),
+        F.array(F.lit(1.0)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("mp"),
+        F.struct(F.lit(1).alias("x")).alias("st"),
+    )
+    assert complex_cols(df.schema) == ["arr", "mp", "st"]
+
+
+def test_guard_clean_on_scalars(spark):
+    df = spark.range(2).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("s"),
+        F.col("id").cast("double").alias("d"),
+    )
+    assert complex_cols(df.schema) == []
+
+
+def test_all_registered_queries_scalar_schema(spark, sf_dir):
+    """Every queries() entry must plan to a scalar-only top-level schema.
+
+    Schema-only check: .schema builds the plan without executing it, so this
+    covers all 50 registered queries cheaply.
+    """
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, sf_dir).schema
+        bad = complex_cols(schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex top-level columns would crash the driver: {offenders}"

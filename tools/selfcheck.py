@@ -60,6 +60,19 @@ def _norm_cell(v):
     return ("o", str(v))
 
 
+def complex_cols(schema) -> list[str]:
+    """Top-level array/map/struct columns — the driver canonicalizer crashes
+    on these (pandas sort_values → unhashable list), so no registered query
+    may emit one.  r2's single red row (multimodal_pipeline) was this."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def _norm_frame(pdf):
     cols = sorted(pdf.columns)
     rows = []
@@ -95,6 +108,19 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
+            # r2 lesson (VERDICT item 2): rows-only queries are canonicalized
+            # by the driver too — multimodal_pipeline was rows-only and still
+            # crashed it, so the guard runs before any oracle branching.
+            bad = complex_cols(sdf.schema)
+            if bad:
+                print(
+                    f"FAIL {name}: complex top-level columns {bad} — "
+                    "driver canonicalizer cannot hash array/map/struct; "
+                    "stringify (to_json / concat_ws) before returning"
+                )
+                n_fail += 1
+                failures.append(name)
+                continue
             spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
