@@ -257,9 +257,17 @@ def extract_links_polite_one(
     p = _TextAndLinks(respect_robots_directives=True)
     try:
         p.feed(s)
-        p.close()
     except Exception:
         pass
+    finally:
+        # close() applies the meta-robots nofollow link wipe; without the
+        # finally, a feed() exception after the <meta> was parsed would
+        # leak the partially collected links of a nofollow page (r2 ADVICE)
+        try:
+            p.close()
+        except Exception:
+            if p.meta_nofollow:
+                p.links = []
     links = [urljoin(base_url, h) for h in p.links] if base_url else list(p.links)
     return links, p.meta_nofollow, p.meta_noindex
 

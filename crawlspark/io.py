@@ -134,7 +134,10 @@ def seeds_from_sitemaps(sitemaps: DataFrame, body_col: str = "body") -> DataFram
     Input: (…, ``body_col``: binary) sitemap payloads.  Output one row per
     entry: ``(url, lastmod: timestamp, priority: double, is_index_ref)``,
     parsed by an Arrow-batched pandas UDF and exploded JVM-side; lastmod
-    accepts W3C datetime (date-only or full) via two-pattern coalesce.
+    accepts the W3C datetime profile — full with or without fractional
+    seconds, date-only, and month-only — via a try_to_timestamp coalesce
+    chain (r2 ADVICE: ``2024-01-01T00:00:00.000Z`` and ``2024-01`` used
+    to parse to NULL, silently losing freshness data).
     Rows with ``is_index_ref`` are child-sitemap pointers — feed their
     fetched bodies back through this function to recurse an index.
     """
@@ -150,7 +153,11 @@ def seeds_from_sitemaps(sitemaps: DataFrame, body_col: str = "body") -> DataFram
             F.col("e.url").alias("url"),
             F.coalesce(
                 F.try_to_timestamp(F.col("e.lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+                F.try_to_timestamp(
+                    F.col("e.lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+                ),
                 F.try_to_timestamp(F.col("e.lastmod"), F.lit("yyyy-MM-dd")),
+                F.try_to_timestamp(F.col("e.lastmod"), F.lit("yyyy-MM")),
             ).alias("lastmod"),
             F.col("e.priority").alias("priority"),
             F.col("e.is_index_ref").alias("is_index_ref"),

@@ -89,8 +89,11 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
     Classic REP grammar (RFC 9309, simplified): ``field: value`` lines,
     ``#`` comments, groups of one-or-more ``User-agent`` lines followed by
     ``Allow``/``Disallow``/``Crawl-delay`` records.  Group selection: the
-    group whose agent token is the LONGEST substring of ``agent`` wins
-    (case-insensitive); ``*`` matches any agent with the lowest precedence;
+    LONGEST agent-token substring of ``agent`` wins (case-insensitive);
+    ``*`` matches any agent with the lowest precedence; ALL groups tied at
+    the winning length are merged (rules concatenated, largest crawl-delay
+    kept) per RFC 9309 §2.2.1 — a host may split its directives across
+    several ``User-agent: *`` groups and every Disallow still applies;
     no matching group → no rules.  An empty ``Disallow:`` value means
     "allow everything" (contributes no rule).  Wildcard support is limited
     to a trailing ``*`` (identical to the engine's prefix-match semantics
@@ -140,25 +143,33 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
             except ValueError:
                 pass
 
-    best: dict | None = None
-    best_len = -1
+    # RFC 9309 §2.2.1: if more than one group matches the agent at the
+    # winning specificity (e.g. two separate ``User-agent: *`` groups),
+    # their rules are MERGED, not first-wins — keeping only one group
+    # silently drops later Disallow lines and over-crawls the host.
+    matchlen: list[int] = []  # best match length per group, -1 = no match
     for g in groups:
+        m = -1
         for a in g["agents"]:
             if a == "*":
-                alen = 0
+                m = max(m, 0)
             elif a and a in agent_l:
-                alen = len(a)
-            else:
-                continue
-            if alen > best_len:
-                best, best_len = g, alen
-    if best is None:
+                m = max(m, len(a))
+        matchlen.append(m)
+    best_len = max(matchlen, default=-1)
+    if best_len < 0:
         return {"rules": [], "crawl_delay": None, "sitemaps": sitemaps}
-    return {
-        "rules": best["rules"],
-        "crawl_delay": best["delay"],
-        "sitemaps": sitemaps,
-    }
+    rules: list[dict] = []
+    delay: float | None = None
+    for g, m in zip(groups, matchlen):
+        if m != best_len:
+            continue
+        rules.extend(g["rules"])
+        if g["delay"] is not None:
+            # most-conservative merge: the largest delay wins (politeness
+            # must not regress when a host splits its directives)
+            delay = g["delay"] if delay is None else max(delay, g["delay"])
+    return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
 
 
 _ROBOTS_STRUCT = StructType(

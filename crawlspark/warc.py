@@ -114,7 +114,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     parallelism, matching Common Crawl's ~1 GB segment layout; records are
     exploded executor-side.  ``text``/``lang`` are NULL — run the
     extraction UDF downstream exactly as for pre-parsed corpora.
+
+    Error isolation (r2 ADVICE): a corrupt archive (bad gzip member, bad
+    record header) must not kill a 100k-file ingestion job — each blob is
+    parsed under try/except; records decoded before the corruption point
+    are kept, the rest of that archive is skipped and counted via a
+    warning log (matching :func:`read_records_at`'s per-record tolerance).
     """
+    import logging
+
     import pandas as pd
 
     from .schemas import PAGES_SCHEMA
@@ -123,23 +131,34 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
-        .select("content")
+        .select("path", "content")
     )
 
     def _explode(batches):
+        log = logging.getLogger("crawlspark.warc")
         for pdf in batches:
             rows = []
-            for blob in pdf["content"]:
-                for rec in parse_warc_stream(_maybe_gunzip(bytes(blob))):
-                    rows.append(
-                        {
-                            "url": rec["url"],
-                            "warc_ts": rec["warc_ts"],
-                            "html": rec["html"],
-                            "text": None,
-                            "lang": None,
-                        }
-                    )
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    stream = parse_warc_stream(_maybe_gunzip(bytes(blob)))
+                    # pull records one by one so a mid-archive corruption
+                    # keeps everything already decoded
+                    while True:
+                        try:
+                            rec = next(stream)
+                        except StopIteration:
+                            break
+                        rows.append(
+                            {
+                                "url": rec["url"],
+                                "warc_ts": rec["warc_ts"],
+                                "html": rec["html"],
+                                "text": None,
+                                "lang": None,
+                            }
+                        )
+                except (ValueError, zlib.error, OverflowError) as e:
+                    log.warning("skipping corrupt WARC archive %s: %s", fpath, e)
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
@@ -147,7 +166,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(_explode, PAGES_SCHEMA)
 
 
-def write_warc(records, path: str, compress: bool = False) -> None:
+def write_warc(
+    records, path: str, compress: bool = False
+) -> list[tuple[str, int, int]]:
     """Deterministic WARC writer for round-trip tests.
 
     ``records``: iterable of (url, warc_ts datetime, html bytes); written

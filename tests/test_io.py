@@ -107,6 +107,36 @@ def test_warc_skips_non_response_records(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["url"] == recs[0][0]
 
 
+def test_warc_corrupt_archive_isolated(spark, tmp_path):
+    """One corrupt .warc/.warc.gz must not fail the whole ingestion job
+    (r2 ADVICE, medium): good archives still load, and records decoded
+    before the corruption point within a bad archive are kept."""
+    from crawlspark import warc
+
+    recs = _warc_records()
+    d = tmp_path / "warcs"
+    d.mkdir()
+    warc.write_warc(recs[:4], str(d / "good.warc"), compress=False)
+    # bad gzip: valid magic, garbage body → zlib.error mid-decompress
+    with open(d / "badgzip.warc.gz", "wb") as f:
+        f.write(b"\x1f\x8b" + b"\x00" * 64)
+    # bad header: not a WARC/ first line → ValueError from the parser
+    with open(d / "badhead.warc", "wb") as f:
+        f.write(b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi")
+    # mid-archive corruption: one good record, then garbage that still
+    # header-parses but has a non-integer Content-Length
+    warc.write_warc(recs[4:5], str(d / "tail.warc"), compress=False)
+    with open(d / "tail.warc", "rb") as f:
+        good_one = f.read()
+    with open(d / "partial.warc", "wb") as f:
+        f.write(good_one + b"WARC/1.0\r\nContent-Length: nope\r\n\r\n")
+    (d / "tail.warc").unlink()
+
+    got = {r["url"]: r for r in warc.read_warc(spark, str(d)).collect()}
+    want = {u for u, _, _ in recs[:5]}  # 4 good + 1 pre-corruption record
+    assert set(got) == want
+
+
 def test_sitemap_parse_one_shapes():
     from crawlspark import io as cio
 
@@ -163,6 +193,29 @@ def test_seeds_from_sitemaps_spark(spark):
     # seeds plug straight into the crawl's seed shape
     seeds = cio.seeds_from_sitemaps(df).filter("not is_index_ref").select("url")
     assert seeds.count() == 2
+
+
+def test_sitemap_lastmod_w3c_variants(spark):
+    """W3C datetime profile coverage (r2 ADVICE): fractional seconds and
+    month-only lastmod must parse, not silently NULL."""
+    from crawlspark import io as cio
+
+    urlset = b"""<urlset>
+  <url><loc>https://ex.com/frac</loc><lastmod>2024-01-01T00:00:00.000Z</lastmod></url>
+  <url><loc>https://ex.com/month</loc><lastmod>2024-03</lastmod></url>
+  <url><loc>https://ex.com/date</loc><lastmod>2024-05-06</lastmod></url>
+  <url><loc>https://ex.com/full</loc><lastmod>2024-07-08T09:10:11+02:00</lastmod></url>
+  <url><loc>https://ex.com/junk</loc><lastmod>yesterday</lastmod></url>
+</urlset>"""
+    df = spark.createDataFrame(
+        [("s", bytearray(urlset))], "sm_url string, body binary"
+    )
+    got = {r["url"]: r["lastmod"] for r in cio.seeds_from_sitemaps(df).collect()}
+    assert got["https://ex.com/frac"].year == 2024
+    assert (got["https://ex.com/month"].year, got["https://ex.com/month"].month) == (2024, 3)
+    assert got["https://ex.com/date"].day == 6
+    assert got["https://ex.com/full"] is not None
+    assert got["https://ex.com/junk"] is None  # unparseable stays NULL, row kept
 
 
 def test_discover_seeds_from_robots_end_to_end(spark):

@@ -71,6 +71,51 @@ def test_messy_input():
     assert p["crawl_delay"] is None
 
 
+SPLIT_STAR_GROUPS = """\
+User-agent: *
+Disallow: /a/
+Crawl-delay: 1
+
+User-agent: other-bot
+Disallow: /not-ours/
+
+User-agent: *
+Disallow: /b/
+Crawl-delay: 3
+"""
+
+SPLIT_SPECIFIC_GROUPS = """\
+User-agent: crawlspark
+Disallow: /one/
+
+User-agent: *
+Disallow: /star/
+
+User-agent: crawlspark
+Disallow: /two/
+"""
+
+
+def test_tied_star_groups_merge_rfc9309():
+    # RFC 9309 §2.2.1: two separate 'User-agent: *' groups MERGE — the
+    # second group's Disallow must not be dropped (r2 ADVICE, medium).
+    p = polite.parse_robots_one(SPLIT_STAR_GROUPS, agent="crawlspark")
+    assert p["rules"] == [
+        {"pattern": "/a/", "allow": False},
+        {"pattern": "/b/", "allow": False},
+    ]
+    # most-conservative delay across the merged groups
+    assert p["crawl_delay"] == 3.0
+
+
+def test_tied_specific_groups_merge_and_beat_star():
+    p = polite.parse_robots_one(SPLIT_SPECIFIC_GROUPS, agent="crawlspark")
+    assert p["rules"] == [
+        {"pattern": "/one/", "allow": False},
+        {"pattern": "/two/", "allow": False},
+    ]
+
+
 def test_empty_and_none_bodies():
     empty = {"rules": [], "crawl_delay": None, "sitemaps": []}
     assert polite.parse_robots_one(None) == empty
