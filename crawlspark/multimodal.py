@@ -18,10 +18,13 @@ in this sandbox):
   |Δluma| motion proxy); encoder for round-trips.
 
 ``decode_features`` routes by magic bytes: PNG/WAV/Y4M payloads get real
-decoded features; **compressed containers (mp4 etc.) are the one honest
-stub** (no codec libs in this sandbox) — strict mode raises for them,
-test mode derives a deterministic pseudo-vector.  Swapping in ffmpeg
-changes only ``_decode_one``'s fallback branch.
+decoded features; **mp4/ISOBMFF containers box-parse to real metadata**
+(ftyp brand, mvhd duration/timescale, tkhd geometry, hdlr kinds — ISO/IEC
+14496-12 structure needs no codec); **codec sample decode is the one
+honest stub** (no ffmpeg in this sandbox) — strict mode raises for
+unparseable compressed blobs, test mode derives a deterministic
+pseudo-vector.  Swapping in ffmpeg changes only ``_decode_one``'s
+fallback branch.
 """
 
 from __future__ import annotations
@@ -354,13 +357,176 @@ def _y4m_features(payload: bytes) -> list[float]:
     return feats.tolist()
 
 
+# ------------------------------------------------------------- mp4 container
+# ISOBMFF (ISO/IEC 14496-12) box parsing: the container STRUCTURE is plain
+# length-prefixed boxes, so duration (moov/mvhd), track geometry (trak/tkhd)
+# and handler kinds (mdia/hdlr) are extractable with stdlib only — no codec.
+# Sample decode (avc1/mp4a payloads) still requires ffmpeg and stays behind
+# the strict-mode NotImplementedError below.
+
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"))
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+_MP4_UNIT_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4_meta(
+    duration_ms: int,
+    width: int,
+    height: int,
+    *,
+    timescale: int = 1000,
+    brand: bytes = b"isom",
+    handlers: tuple[bytes, ...] = (b"vide",),
+) -> bytes:
+    """Minimal VALID ISOBMFF container — ftyp + moov(mvhd, trak(tkhd, mdia/
+    hdlr))* + empty mdat.  Structure-only (no coded samples): enough to
+    round-trip ``parse_mp4_boxes`` and to exercise any spec-conforming
+    demuxer's metadata path."""
+    dur = int(duration_ms) * timescale // 1000
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">ihh", 0x00010000, 0x0100, 0)  # rate 1.0, volume 1.0
+        + b"\x00" * 8
+        + _MP4_UNIT_MATRIX
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", len(handlers) + 1),  # next_track_ID
+    )
+    traks = b""
+    for tid, handler in enumerate(handlers, start=1):
+        is_vid = handler == b"vide"
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">I", 7)  # version 0, flags: enabled|in_movie|in_preview
+            + struct.pack(">IIIII", 0, 0, tid, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0 if is_vid else 0x0100, 0)
+            + _MP4_UNIT_MATRIX
+            + struct.pack(
+                ">II",
+                (width << 16) if is_vid else 0,  # 16.16 fixed-point
+                (height << 16) if is_vid else 0,
+            ),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 12 + b"crawlspark\x00",
+        )
+        traks += _mp4_box(b"trak", tkhd + _mp4_box(b"mdia", hdlr))
+    return ftyp + _mp4_box(b"moov", mvhd + traks) + _mp4_box(b"mdat", b"\x00" * 16)
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for sibling boxes in
+    [start, end).  Handles 64-bit largesize and size==0 (to-EOF); stops
+    cleanly at the first corrupt/truncated header instead of raising."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(data[off : off + 4], "big")
+        typ = data[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize follows
+            if off + 16 > end:
+                return
+            size = int.from_bytes(data[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def parse_mp4_boxes(data: bytes) -> dict:
+    """Walk the ISOBMFF box tree and return container metadata:
+    major_brand, timescale, duration_ms, n_tracks, width/height (max over
+    video tracks, 16.16 fixed-point → int) and handler kinds (vide/soun/…).
+    Tolerant of truncation — returns whatever parsed before the damage."""
+    info: dict = {
+        "major_brand": None,
+        "timescale": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+        "handlers": [],
+    }
+
+    def walk(s: int, e: int) -> None:
+        for typ, ps, pe in _walk_mp4_boxes(data, s, e):
+            if typ == b"ftyp" and pe - ps >= 4:
+                info["major_brand"] = data[ps : ps + 4].decode("latin-1")
+            elif typ == b"mvhd" and pe > ps:
+                ver = data[ps]
+                if ver == 1 and pe - ps >= 32:
+                    ts = int.from_bytes(data[ps + 20 : ps + 24], "big")
+                    dur = int.from_bytes(data[ps + 24 : ps + 32], "big")
+                elif ver == 0 and pe - ps >= 20:
+                    ts = int.from_bytes(data[ps + 12 : ps + 16], "big")
+                    dur = int.from_bytes(data[ps + 16 : ps + 20], "big")
+                else:
+                    continue
+                info["timescale"] = ts
+                if ts:
+                    info["duration_ms"] = dur * 1000 // ts
+            elif typ == b"trak":
+                info["n_tracks"] += 1
+                walk(ps, pe)
+            elif typ == b"tkhd" and pe > ps:
+                ver = data[ps]
+                base = ps + (36 if ver == 1 else 24)  # ver/flags…duration
+                wh = base + 8 + 2 + 2 + 2 + 2 + 36  # reserved/layer/alt/vol/res/matrix
+                if wh + 8 <= pe:
+                    w = int.from_bytes(data[wh : wh + 4], "big") >> 16
+                    h = int.from_bytes(data[wh + 4 : wh + 8], "big") >> 16
+                    if w and h:
+                        info["width"] = max(info["width"] or 0, w)
+                        info["height"] = max(info["height"] or 0, h)
+            elif typ == b"hdlr" and pe - ps >= 12:
+                info["handlers"].append(data[ps + 8 : ps + 12].decode("latin-1"))
+            elif typ in _MP4_CONTAINERS:
+                walk(ps, pe)
+
+    walk(0, len(data))
+    return info
+
+
+def _mp4_features(payload: bytes) -> list[float] | None:
+    """Container-metadata features for an ISOBMFF payload, or None when the
+    payload has an ftyp but no parseable moov (caller decides fallback).
+    Indices 0-4 mirror the y4m layout (duration/rate/w/h/count); 5-6 are
+    handler-kind flags; pixel-stat slots stay 0 (no sample decode)."""
+    info = parse_mp4_boxes(payload)
+    if info["timescale"] is None and not info["handlers"]:
+        return None
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = min((info["duration_ms"] or 0) / 1000.0, 60.0) / 60.0
+    feats[1] = min(info["timescale"] or 0, 90000) / 90000.0
+    feats[2] = min(info["width"] or 0, 4096) / 4096.0
+    feats[3] = min(info["height"] or 0, 4096) / 4096.0
+    feats[4] = min(info["n_tracks"], 16) / 16.0
+    feats[5] = 1.0 if "vide" in info["handlers"] else 0.0
+    feats[6] = 1.0 if "soun" in info["handlers"] else 0.0
+    return feats.tolist()
+
+
 def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
     """Decode/feature-extract, routed by magic bytes.
 
-    PNG, WAV and Y4M video are REAL (stdlib+numpy codecs above).
-    Compressed containers (mp4 etc.): strict mode raises (no codec libs
-    in this sandbox — install ffmpeg and extend this branch); test mode
-    derives a deterministic pseudo-feature vector from the payload digest.
+    PNG, WAV and Y4M video are REAL (stdlib+numpy codecs above); mp4/
+    ISOBMFF containers box-parse to real metadata features (no codec
+    needed for the structure).  Codec-compressed blobs we cannot parse:
+    strict mode raises (no codec libs in this sandbox — install ffmpeg
+    and extend this branch); test mode derives a deterministic
+    pseudo-feature vector from the payload digest.
     """
     if payload is None:
         return None
@@ -370,6 +536,11 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
         return _wav_features(payload)
     if payload.startswith(_Y4M_SIG):
         return _y4m_features(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        feats = _mp4_features(payload)
+        if feats is not None:  # box-parsed container metadata — real
+            return feats
+        # ftyp present but no parseable moov: fall through to the stub path
     if strict:
         raise NotImplementedError(
             f"no {kind} codec for this payload format in this environment; "
@@ -430,8 +601,9 @@ def synthesize_real_media(spark, n: int = 60) -> DataFrame:
     """Deterministic media table whose payloads are REAL files (PNG via
     encode_png, WAV via encode_wav, Y4M video via encode_y4m — a moving
     square, so the motion feature is physically checkable).  Every 6th
-    video stays an opaque mp4-tagged blob: the compressed-container
-    strict-mode boundary the tests pin down."""
+    video is a real ISOBMFF mp4 container (box-parsed metadata); one
+    video per 18 stays an opaque codec-compressed blob — the strict-mode
+    boundary the tests pin down."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -450,8 +622,15 @@ def synthesize_real_media(spark, n: int = 60) -> DataFrame:
             payload, fmt = encode_wav(samples, 16000), "wav"
             w = h = None
             dur = int(nsamp / 16.0)
-        elif i % 18 == 17:  # every 6th video: opaque compressed container
-            payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mp4"
+        elif i % 18 == 17:  # every 6th video: real ISOBMFF container
+            dur = 1000 * (1 + i % 30)
+            w, h = 320, 240
+            payload, fmt = (
+                encode_mp4_meta(dur, w, h, handlers=(b"vide", b"soun")),
+                "mp4",
+            )
+        elif i % 18 == 11:  # opaque codec-compressed blob: honest boundary
+            payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mkv"
             w = h = None
             dur = 1000 * (1 + i % 30)
         else:

@@ -124,26 +124,87 @@ def test_resize_nearest():
 
 
 def test_real_media_strict_decode(spark):
-    """PNG/WAV/Y4M payloads decode for real even in strict mode; only the
-    opaque compressed-container (mp4) subset raises."""
+    """PNG/WAV/Y4M payloads decode for real even in strict mode, and mp4
+    containers now box-parse to real metadata features; only the opaque
+    codec-compressed blob (mkv-tagged) subset raises."""
     media = multimodal.synthesize_real_media(spark, 30)
-    real = media.filter("meta_format != 'mp4'")
+    real = media.filter("meta_format != 'mkv'")
     rows = {r["media_id"]: r for r in multimodal.decode_features(real, strict=True).collect()}
-    assert len(rows) == 29  # 30 minus media 17 (the opaque mp4)
+    assert len(rows) == 28  # 30 minus media 11 and 29 (the opaque codec blobs)
     img0 = rows[0]  # media 0 is a 8x8 RGB PNG
     assert abs(img0["features"][0] - 8 / 4096.0) < 1e-6
     assert img0["features"][2] == 3 / 4.0
     aud = rows[1]  # media 1 is wav @16 kHz
     assert abs(aud["features"][1] - 16000 / 48000.0) < 1e-6  # float32 vs float64
+    mp4 = rows[17]  # media 17 is the real ISOBMFF container (18s, 320x240)
+    assert abs(mp4["features"][0] - 18.0 / 60.0) < 1e-6  # mvhd duration
+    assert abs(mp4["features"][2] - 320 / 4096.0) < 1e-6  # tkhd width
+    assert abs(mp4["features"][3] - 240 / 4096.0) < 1e-6  # tkhd height
+    assert mp4["features"][5] == 1.0 and mp4["features"][6] == 1.0  # vide+soun
     # deterministic across runs
     rows2 = {r["media_id"]: r for r in multimodal.decode_features(real, strict=True).collect()}
     assert all(rows[k]["features"] == rows2[k]["features"] for k in rows)
 
     import pytest as _pytest
 
-    vids = media.filter("meta_format = 'mp4'")
+    vids = media.filter("meta_format = 'mkv'")
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.decode_features(vids, strict=True).collect()
+
+
+def test_mp4_box_roundtrip():
+    """encode_mp4_meta → parse_mp4_boxes round-trips every metadata field."""
+    data = multimodal.encode_mp4_meta(
+        12_500, 1920, 1080, timescale=90000, brand=b"mp42", handlers=(b"vide", b"soun")
+    )
+    info = multimodal.parse_mp4_boxes(data)
+    assert info["major_brand"] == "mp42"
+    assert info["timescale"] == 90000
+    assert info["duration_ms"] == 12_500
+    assert info["n_tracks"] == 2
+    assert info["width"] == 1920 and info["height"] == 1080
+    assert info["handlers"] == ["vide", "soun"]
+
+
+def test_mp4_box_parser_robustness():
+    """Truncation / corruption stop the walk cleanly instead of raising,
+    keeping whatever parsed before the damage (same tolerance contract as
+    warc.read_warc)."""
+    data = multimodal.encode_mp4_meta(3000, 640, 480)
+    # truncated mid-moov: ftyp still parsed, no crash
+    cut = multimodal.parse_mp4_boxes(data[: len(data) // 2])
+    assert cut["major_brand"] == "isom"
+    # size field lies (points past EOF): clean stop
+    bad = bytearray(data)
+    bad[0:4] = (2**31).to_bytes(4, "big")
+    assert multimodal.parse_mp4_boxes(bytes(bad))["timescale"] is None
+    # garbage is not a container
+    assert multimodal.parse_mp4_boxes(b"\x00" * 64)["n_tracks"] == 0
+    # 64-bit largesize header on the ftyp box still parses
+    ftyp_payload = data[8:24]  # brand + ver + compat
+    large = (
+        (1).to_bytes(4, "big")
+        + b"ftyp"
+        + (16 + len(ftyp_payload)).to_bytes(8, "big")
+        + ftyp_payload
+    )
+    assert multimodal.parse_mp4_boxes(large)["major_brand"] == "isom"
+
+
+def test_mp4_strict_decode_vs_digest_fallback():
+    """An ISOBMFF payload takes the real box-parse path (strict OK); an
+    ftyp-only shell with no moov falls back to the digest stub and raises
+    under strict."""
+    import pytest as _pytest
+
+    real = multimodal.encode_mp4_meta(2000, 320, 240)
+    feats = multimodal._decode_one(real, "video", strict=True)
+    assert abs(feats[0] - 2.0 / 60.0) < 1e-6
+    shell = real[:24]  # ftyp box only
+    with _pytest.raises(NotImplementedError):
+        multimodal._decode_one(shell, "video", strict=True)
+    fallback = multimodal._decode_one(shell, "video", strict=False)
+    assert len(fallback) == multimodal.FEATURE_DIM
 
 
 def test_y4m_roundtrip_and_features():
