@@ -185,15 +185,31 @@ def anti_join(spark, sf):
 
 
 @_q(
-    "union_distinct",
-    """SELECT c_nationkey AS nationkey FROM customer
-       UNION SELECT s_nationkey FROM supplier""",
+    "set_family",
+    """SELECT 'union' AS op, k FROM
+         (SELECT c_nationkey AS k FROM customer
+          UNION SELECT s_nationkey FROM supplier)
+       UNION ALL
+       SELECT 'except' AS op, k FROM
+         (SELECT n_nationkey AS k FROM nation
+          EXCEPT SELECT c_nationkey FROM customer)
+       UNION ALL
+       SELECT 'intersect' AS op, k FROM
+         (SELECT n_nationkey AS k FROM nation
+          INTERSECT SELECT s_nationkey FROM supplier)""",
 )
-def union_distinct(spark, sf):
-    """C4 seen absorb (union + distinct) ≡ H1 set UNION."""
-    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s).dropDuplicates()
+def set_family(spark, sf):
+    """H1 UNION distinct (≡ C4 seen absorb) + H2 EXCEPT (set semantics —
+    subtract, not exceptAll; ADVICE round 1) + H3 INTERSECT, tagged by op.
+    Merged into one entry (round 3) to free registry slots for the
+    training-pipeline ops pii_scrub and boilerplate_lines."""
+    cust = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    nat = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
+    uni = cust.unionByName(supp).dropDuplicates().select(F.lit("union").alias("op"), "k")
+    exc = nat.subtract(cust).select(F.lit("except").alias("op"), "k")
+    itc = nat.intersect(supp).select(F.lit("intersect").alias("op"), "k")
+    return uni.unionByName(exc).unionByName(itc)
 
 
 @_q(
@@ -218,30 +234,6 @@ def distinct_card(spark, sf):
             ).alias("approx_ok"),
         )
     )
-
-
-@_q(
-    "set_ops",
-    """SELECT 'except' AS op, k FROM
-         (SELECT n_nationkey AS k FROM nation
-          EXCEPT SELECT c_nationkey FROM customer)
-       UNION ALL
-       SELECT 'intersect' AS op, k FROM
-         (SELECT n_nationkey AS k FROM nation
-          INTERSECT SELECT s_nationkey FROM supplier)""",
-)
-def set_ops(spark, sf):
-    """H2 EXCEPT + H3 INTERSECT (set semantics — subtract, not exceptAll;
-    ADVICE round 1), merged into one entry to free a registry slot for
-    ann_ivf (round-2 verdict item 5)."""
-    nat = _t(spark, sf, "nation").select(F.col("n_nationkey").alias("k"))
-    exc = nat.subtract(
-        _t(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
-    ).select(F.lit("except").alias("op"), "k")
-    itc = nat.intersect(
-        _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
-    ).select(F.lit("intersect").alias("op"), "k")
-    return exc.unionByName(itc)
 
 
 # --------------------------------------------------------------------------
@@ -522,36 +514,30 @@ def win_rangeframe(spark, sf):
 # G. sort / limit  (§2 G1-G3)
 # --------------------------------------------------------------------------
 @_q(
-    "sort_multi",
-    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
-       FROM lineitem
-       ORDER BY l_returnflag, l_linestatus, l_shipdate, l_orderkey, l_linenumber
-       LIMIT 100""",
+    "sort_page",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM (
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+         FROM lineitem
+         ORDER BY l_returnflag, l_linestatus, l_shipdate, l_orderkey, l_linenumber
+         LIMIT 100)
+       ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+       LIMIT 10 OFFSET 90""",
 )
-def sort_multi(spark, sf):
+def sort_page(spark, sf):
     """G1 global deterministic multi-key order + G2 global top-k
-    (order+limit plans as TakeOrderedAndProject — no full sort)."""
-    return (
+    (order+limit plans as TakeOrderedAndProject — no full sort) + G3
+    limit/offset paging: page 10 (rows 91-100) of the top-100.  Merged
+    from r2's sort_multi + limit_page to free a registry slot."""
+    top = (
         _t(spark, sf, "lineitem")
         .orderBy("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey", "l_linenumber")
         .limit(100)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
     )
-
-
-@_q(
-    "limit_page",
-    """SELECT o_orderkey, o_custkey FROM orders
-       QUALIFY row_number() OVER (ORDER BY o_orderkey) BETWEEN 91 AND 100""",
-)
-def limit_page(spark, sf):
-    """G3 limit/offset paging via row_number window."""
-    w = Window.orderBy("o_orderkey")
     return (
-        _t(spark, sf, "orders")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").between(91, 100))
-        .select("o_orderkey", "o_custkey")
+        top.orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .offset(90)
+        .limit(10)
     )
 
 
@@ -821,6 +807,90 @@ def token_count(spark, sf):
     from crawlspark import textops
 
     return textops.token_count(_t(spark, sf, "documents"))
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of textops.pii_scrub over PII-seeded documents: the same
+    rule chain, each count taken on the text as it stood when that rule ran.
+    Patterns are Java+RE2 portable by construction (no lookarounds)."""
+    from crawlspark.textops import PII_RULES
+
+    (_, email, et), (_, ipv4, it), (_, cc, ct), (_, phone, pt) = PII_RULES
+    seeded = (
+        "text || ' contact doc' || doc_id || '@mail.example.org"
+        " from 10.0.' || (doc_id % 256) || '.7'"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {seeded} AS t FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(t, '{email}', '{et}', 'g') AS t,
+                      len(regexp_extract_all(t, '{email}')) AS n_email FROM d),
+        s2 AS (SELECT doc_id, regexp_replace(t, '{ipv4}', '{it}', 'g') AS t, n_email,
+                      len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4 FROM s1),
+        s3 AS (SELECT doc_id, regexp_replace(t, '{cc}', '{ct}', 'g') AS t, n_email, n_ipv4,
+                      len(regexp_extract_all(t, '{cc}')) AS n_cc FROM s2)
+        SELECT doc_id, regexp_replace(t, '{phone}', '{pt}', 'g') AS text,
+               n_email, n_ipv4, n_cc,
+               len(regexp_extract_all(t, '{phone}')) AS n_phone
+        FROM s3"""
+
+
+@_q("pii_scrub", _pii_oracle_sql())
+def pii_scrub(spark, sf):
+    """Training-data PII redaction (emails/IPv4/card runs/phone shapes →
+    typed placeholders + per-rule counts), all chained built-in
+    regexp_replace (JVM codegen, no UDF).  Documents are seeded with one
+    deterministic email+IP per row so the oracle checks real redactions,
+    not an identity pass."""
+    from crawlspark import textops
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(d)
+
+
+@_q(
+    "boilerplate_lines",
+    """WITH d AS (SELECT doc_id,
+                  'COOKIE NOTICE' || chr(10) || text || chr(10) || 'footer (c) example'
+                  AS text FROM documents),
+       lines AS (
+         SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+         FROM d),
+       hot AS (
+         SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+         GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 10),
+       kept AS (
+         SELECT l.* FROM lines l WHERE trim(l.line) NOT IN (SELECT key FROM hot))
+       SELECT d.doc_id,
+              coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+       FROM (SELECT DISTINCT doc_id FROM d) d
+       LEFT JOIN kept k USING (doc_id)
+       GROUP BY d.doc_id""",
+)
+def boilerplate_lines(spark, sf):
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    occurring in >= 10 distinct documents (here: an injected cookie banner
+    and footer on every row) is dropped from all of them; remaining lines
+    reassemble in order, all-boilerplate docs survive with text=''."""
+    from crawlspark import textops
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"), F.col("text"), F.lit("\nfooter (c) example")
+        ).alias("text"),
+    )
+    return textops.remove_boilerplate(d, min_docs=10)
 
 
 # --------------------------------------------------------------------------

@@ -707,6 +707,101 @@ def repetition_stats(
     )
 
 
+# ------------------------------------------------- PII scrubbing
+# Heuristic web-corpus PII redaction (the standard pre-training scrub):
+# chained built-in regexp_replace — JVM-side, whole-stage codegen, no UDF.
+# Patterns are valid under BOTH Java regex (Spark) and RE2 (DuckDB), so the
+# op is oracle-checkable: no lookarounds, no backrefs.
+
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("cc", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b", "<CC>"),
+    ("phone", r"\+\d{7,14}\b|\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / card-shaped digit runs / phone-shaped numbers
+    with typed placeholder tokens; emit per-rule match counts.
+
+    Rules apply in order (email before ipv4 before cc before phone) so a
+    broader later pattern never eats a more specific earlier one; each
+    ``n_<rule>`` counts matches in the text as it stood when that rule ran.
+    Heuristic by design: an 11+-digit run may redact only a phone-shaped
+    suffix — the cost of staying lookaround-free (Java+RE2 portable).
+    """
+    red = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat, tok in PII_RULES:
+        cols.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(cols[0], red.alias("text"), *cols[1:])
+
+
+# ------------------------------------------------- line-level boilerplate
+# CCNet/RefinedWeb-style: a line occurring in >= min_docs distinct documents
+# is boilerplate (cookie banners, nav bars, footers) and is dropped from
+# every document.  Two shuffles, both on uniform keys: (line_key, doc) for
+# the distinct-doc count, doc_id for the reassembly.  A mega-line (one
+# shared by 10^9 docs) is safe: the first phase de-dups (key, doc) pairs —
+# spread across partitions by the pair — and the per-key count is a
+# map-side-combined row count, so no single reducer sees the full group.
+
+
+def line_doc_freq(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """(line_key, n_docs) for every distinct non-empty trimmed line.  Empty
+    lines are excluded so shared blank separators never count as
+    boilerplate (removing them would collapse paragraph structure)."""
+    return (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.col(text_col), line_sep, -1)).alias("__line"),
+        )
+        .filter(F.trim("__line") != "")
+        .select("__doc", F.xxhash64(F.trim("__line")).alias("line_key"))
+        .groupBy("line_key")
+        .agg(F.count_distinct("__doc").alias("n_docs"))
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Drop every line that occurs (trim-normalized) in >= ``min_docs``
+    distinct documents; reassemble each document's remaining lines in their
+    original order.  Documents that were ALL boilerplate survive with
+    text = '' (left join back to the id spine), so downstream row counts
+    are stable."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias("pos", "line"),
+    ).withColumn("line_key", F.xxhash64(F.trim("line")))
+    hot = line_doc_freq(df, id_col, text_col, line_sep).filter(
+        F.col("n_docs") >= min_docs
+    )
+    kept = lines.join(hot, "line_key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            line_sep,
+        ).alias("text")
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
 # ------------------------------------------------- composite clean pipeline
 
 def clean_corpus(

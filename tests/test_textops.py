@@ -406,3 +406,104 @@ def test_pack_sequences_grouped(spark):
     # each group packs independently from seq 0
     assert ("de", 0, 3, 4) in rows and ("de", 2, 3, 1) in rows
     assert ("en", 0, 1, 4) in rows and ("en", 2, 2, 2) in rows
+
+
+def test_pii_scrub_vs_duckdb_oracle(spark):
+    """Redaction + counts match a DuckDB RE2 twin (patterns are portable by
+    construction: no lookarounds/backrefs), and each PII shape is caught."""
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@mail.example.org or call (555) 123-4567"),
+            (2, "server 192.168.001.1 and card 4111 1111 1111 1111 ok"),
+            (3, "intl +4915123456789 and date 2024-01-01 stays"),
+            (4, "no pii here, just text with numbers 42 and 7"),
+            (5, "two mails a@b.co c@d.io and ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.pii_scrub(docs).orderBy("doc_id").collect()
+    r = {row["doc_id"]: row for row in out}
+    assert "<EMAIL>" in r[1]["text"] and "<PHONE>" in r[1]["text"]
+    assert "jane" not in r[1]["text"]
+    assert r[2]["text"].count("<IP>") == 1 and "<CC>" in r[2]["text"]
+    assert "<PHONE>" in r[3]["text"] and "2024-01-01" in r[3]["text"]
+    assert r[4]["text"] == "no pii here, just text with numbers 42 and 7"
+    assert r[5]["n_email"] == 2 and r[5]["n_ipv4"] == 1
+    assert r[1]["n_phone"] == 1 and r[2]["n_cc"] == 1
+
+    import duckdb
+
+    pdf = docs.toPandas()  # noqa: F841
+    email, ipv4, cc, phone = (p for _, p, _ in textops.PII_RULES)
+    oracle = duckdb.sql(
+        f"""
+        WITH s1 AS (SELECT doc_id, regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t,
+                           len(regexp_extract_all(text, '{email}')) AS n_email FROM pdf),
+             s2 AS (SELECT doc_id, regexp_replace(t, '{ipv4}', '<IP>', 'g') AS t, n_email,
+                           len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4 FROM s1),
+             s3 AS (SELECT doc_id, regexp_replace(t, '{cc}', '<CC>', 'g') AS t, n_email, n_ipv4,
+                           len(regexp_extract_all(t, '{cc}')) AS n_cc FROM s2)
+        SELECT doc_id, regexp_replace(t, '{phone}', '<PHONE>', 'g') AS text,
+               n_email, n_ipv4, n_cc,
+               len(regexp_extract_all(t, '{phone}')) AS n_phone
+        FROM s3 ORDER BY doc_id
+        """
+    ).df()
+    got = textops.pii_scrub(docs).orderBy("doc_id").toPandas()
+    for col in ("text", "n_email", "n_ipv4", "n_cc", "n_phone"):
+        assert list(got[col]) == list(oracle[col]), col
+
+
+def test_remove_boilerplate_vs_duckdb_oracle(spark):
+    """Line-level boilerplate dedup matches a DuckDB twin; order preserved,
+    all-boilerplate docs survive with empty text, blank lines never count."""
+    rows = []
+    for i in range(12):
+        body = f"unique body line {i}\nsecond unique {i}"
+        rows.append((i, f"COOKIE NOTICE\n{body}\n\nfooter (c) site"))
+    rows.append((100, "COOKIE NOTICE\nfooter (c) site"))  # all boilerplate
+    rows.append((101, "totally unique document"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r["text"] for r in textops.remove_boilerplate(docs, min_docs=10).collect()}
+    assert len(out) == 14  # row count stable
+    assert out[0] == "unique body line 0\nsecond unique 0\n"  # blank line kept
+    assert out[100] == ""
+    assert out[101] == "totally unique document"
+
+    import duckdb
+
+    pdf = docs.toPandas()  # noqa: F841
+    oracle = duckdb.sql(
+        """
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+          FROM pdf),
+        hot AS (
+          SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+          GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 10),
+        kept AS (
+          SELECT l.* FROM lines l WHERE trim(l.line) NOT IN (SELECT key FROM hot))
+        SELECT d.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        FROM (SELECT DISTINCT doc_id FROM pdf) d
+        LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    ).df()
+    got = textops.remove_boilerplate(docs, min_docs=10).orderBy("doc_id").toPandas()
+    assert list(got["doc_id"]) == list(oracle["doc_id"])
+    assert list(got["text"]) == list(oracle["text"])
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    """A line in exactly min_docs-1 docs stays; at min_docs it is dropped."""
+    docs = spark.createDataFrame(
+        [(i, f"shared line\nbody {i}") for i in range(4)]
+        + [(10, "almost shared\nbody x"), (11, "almost shared\nbody y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in textops.remove_boilerplate(docs, min_docs=4).collect()}
+    assert out[0] == "body 0"          # 4 docs >= 4: dropped
+    assert out[10] == "almost shared\nbody x"  # 2 docs < 4: kept
