@@ -85,13 +85,21 @@ def lookup_latest(
     limits — then pre-bucket the pages table by url (Iceberg bucket
     transform) so the SMJ shuffles only the scheduled side.
     """
-    wanted = scheduled.select("url").join(keys, "url", "inner")
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.col("html"))
     if broadcast_wanted:
+        # Build wanted with the scheduled side broadcast too: a plain
+        # scheduled ⋈ keys inside the BroadcastExchange subquery is planned
+        # NON-adaptively (AQE never sees it), so it would run as an SMJ
+        # shuffling+sorting the full keys table every round.  If wanted fits
+        # in a broadcast, scheduled.url certainly does (wanted ⊆ scheduled
+        # plus one timestamp).  Measured at bench scale (144k scheduled, 2M
+        # keys, local[32]): median 2.4 s vs 4.4 s for the SMJ shape.
+        wanted = keys.join(F.broadcast(scheduled.select("url")), "url", "inner")
         hits = pages.select("url", "warc_ts", "html").join(
             F.broadcast(wanted), ["url", "warc_ts"], "inner"
         )
     else:
+        wanted = scheduled.select("url").join(keys, "url", "inner")
         # bucketed-corpus path: join on url ALONE so the pages side's
         # HashPartitioning(url) (from io.write_pages_bucketed) satisfies the
         # join distribution and the html scan needs NO Exchange — only the
