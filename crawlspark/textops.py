@@ -23,6 +23,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Small-input guard for heavy per-row stages (shingling, 32-way
+    minhash, Arrow UDF hashing): they inherit the scan's partitioning, and
+    a small parquet input arrives as 1-2 partitions, leaving the rest of
+    the cluster idle (measured: minhash signatures over a 5k-doc single
+    file ran 2 of 32 cores, 6 s instead of <1 s).  If the plan has fewer
+    partitions than defaultParallelism, repartition up — one cheap narrow
+    shuffle of the thin input.  At production scale inputs carry far more
+    partitions than cores and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact dedup
 
 def text_key(col: Column) -> Column:
@@ -85,7 +101,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n_hashes: int =
     value (``xxhash64(sh_hash, i)``) — round 1 concatenated ``"i:" || sh``
     and string-hashed every shingle 32x, which dominated the stage.
     """
-    exploded = df.select(
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
     ).select(F.col(id_col), F.xxhash64("sh").alias("shh"))
     aggs = [
@@ -218,7 +234,9 @@ def simhash_neardup_pairs(
     at least one identical chunk), so the self-join is equi on (chunk_idx,
     chunk_value), never a cross product.
     """
-    sh = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
     chunks = sh.select(
         id_col,
         "simhash",
@@ -282,7 +300,9 @@ def ngram_jaccard_pairs(
     per-group pair fan-out — is bounded by the ``block_col`` (e.g. same
     source/host), which callers must supply at scale.
     """
-    sh = df.select(
+    sh = ensure_parallelism(
+        df.select(id_col, text_col, *([block_col] if block_col else []))
+    ).select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         F.explode(shingles_col(F.col(text_col), k)).alias("sh_str"),
@@ -339,13 +359,30 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(text_col: Column) -> list[Column]:
+def _lang_score_exprs(text_col: Column) -> dict[str, Column]:
     w = F.array_distinct(words_col(text_col))
-    cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        cols.append(F.size(F.array_intersect(w, marker_arr)).alias(f"score_{lang}"))
-    return cols
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+
+
+def lang_scores(text_col: Column) -> list[Column]:
+    return [c.alias(f"score_{lang}") for lang, c in _lang_score_exprs(text_col).items()]
+
+
+def lang_pred_col(text_col: Column) -> Column:
+    """The predicted-language EXPRESSION (same semantics as lang_id's
+    pred_lang), for callers that want the column inline without a join —
+    repeated subexpressions stay cheap under codegen subexpression
+    elimination."""
+    scores = _lang_score_exprs(text_col)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # reversed so earlier langs win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -366,6 +403,19 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 # --------------------------------------------------------------------- quality
 
+def quality_expr(text_col: Column) -> Column:
+    """The composite quality-score EXPRESSION (same value as
+    quality_score's ``quality``), for inline use without a join."""
+    n_words = F.size(words_col(text_col))
+    stop_arr = F.array(F.lit("a"), F.lit("the"), F.lit("and"), F.lit("of"))
+    n_stop = F.size(F.array_intersect(F.array_distinct(words_col(text_col)), stop_arr))
+    return F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), n_stop / F.lit(4.0)) * 0.5,
+        4,
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score (all built-ins)."""
     t = F.col(text_col)
@@ -380,11 +430,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         n_words.alias("n_words"),
         F.round(avg_wlen, 4).alias("avg_word_len"),
         n_stop.alias("n_stopword_kinds"),
-        F.round(
-            F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
-            + F.least(F.lit(1.0), n_stop / F.lit(4.0)) * 0.5,
-            4,
-        ).alias("quality"),
+        quality_expr(t).alias("quality"),
     )
 
 
@@ -831,12 +877,17 @@ def clean_corpus(
     ``quality`` directly).  Every stage is a lazy DataFrame transform; the
     whole pipeline is one plan until acted on.
     """
-    lang = lang_id(df, id_col, text_col).select(id_col, "pred_lang")
-    qual = quality_score(df, id_col, text_col).select(id_col, "quality")
+    # lang + quality are pure row-wise expressions: compute them INLINE
+    # (zero shuffles) rather than joining projections back on id — the r2
+    # shape shuffled the full corpus twice for columns the scan can carry.
+    base = ensure_parallelism(df).withColumn(
+        "pred_lang", lang_pred_col(F.col(text_col))
+    ).withColumn("quality", quality_expr(F.col(text_col)))
+    # repetition needs per-doc aggregation — the one join that must stay
     rep = repetition_stats(df, id_col, text_col).select(
         id_col, "dup_line_frac", "top_bigram_char_frac"
     )
-    base = df.join(lang, id_col).join(qual, id_col).join(rep, id_col)
+    base = base.join(rep, id_col)
     if langs is not None:
         base = base.filter(F.col("pred_lang").isin(list(langs)))
     base = base.filter(
@@ -845,6 +896,13 @@ def clean_corpus(
         & (F.col("top_bigram_char_frac") <= F.lit(float(max_top_bigram_char_frac)))
     )
     base = exact_dedup(base, id_col, text_col)
+    # the survivor set feeds three plan branches (minhash signatures, pair
+    # verify, canonical-pick join); Spark does not share common subtrees
+    # across branches, so without a persist the whole filter pipeline above
+    # re-executes per branch.  MEMORY_AND_DISK: spills, never recomputes.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_dedup_pairs(base, id_col, text_col, threshold=minhash_threshold)
     return neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")
 
