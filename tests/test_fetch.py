@@ -134,3 +134,30 @@ def test_lookup_latest_bucketed_no_exchange_on_pages(spark, tmp_path):
         assert got_rows == ref_rows and len(got_rows) == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
+
+
+def test_lookup_latest_broadcast_subquery_has_no_smj(spark, pages):
+    """Regression (r3): the wanted subquery inside the fetch join's
+    BroadcastExchange is planned non-adaptively, so a plain scheduled-keys
+    join there ran as a SortMergeJoin shuffling the full keys table every
+    round.  The whole broadcast-path plan must now be SMJ-free except the
+    final scheduled left-outer (which AQE converts at runtime when small)."""
+    import contextlib
+    import io as _io
+
+    urls = [r["url"] for r in pages.select("url").distinct().limit(20).collect()]
+    scheduled = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = fetch.latest_keys(pages)
+    got = fetch.lookup_latest(scheduled, pages, keys)
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # the wanted build sits under BroadcastExchange; between the outermost
+    # BroadcastExchange and the end of its subtree there must be no SMJ —
+    # cheap proxy: the plan's only SortMergeJoin (if any) is the final
+    # LeftOuter, never an Inner under a broadcast build
+    for seg in plan.split("SortMergeJoin")[1:]:
+        head = seg.splitlines()[0]
+        assert "Inner" not in head, plan

@@ -74,6 +74,17 @@ def main() -> int:
 
     scan_ids = re.findall(r"\((\d+)\) Scan parquet", p)
     checks.append(f"parquet scans in plan: {scan_ids}")
+    # r3: the wanted subquery under the BroadcastExchange is planned
+    # non-adaptively — it must never be an inner SMJ (would shuffle+sort
+    # the full keys table every round)
+    inner_smj = any(
+        "Inner" in seg.splitlines()[0] for seg in p.split("SortMergeJoin")[1:]
+    )
+    if inner_smj:
+        failures.append("fetch join: inner SortMergeJoin inside broadcast build")
+        checks.append("FAIL inner SMJ present (broadcast-subquery regression)")
+    else:
+        checks.append("OK no inner SortMergeJoin anywhere in the broadcast path")
     sections.append(("fetch.lookup_latest (as-of fetch join)", p, checks))
 
     # 2. scan pushdown/pruning
@@ -137,7 +148,7 @@ def main() -> int:
         [("BroadcastHashJoin", True, "small dim joins via BroadcastHashJoin")],
     )
     audit_query(
-        "sort_multi",
+        "sort_page",
         [("TakeOrderedAndProject", True, "order+limit plans as TakeOrderedAndProject (no full sort)")],
     )
     audit_query(
@@ -170,6 +181,20 @@ def main() -> int:
     audit_query(
         "ann_brute",
         [("BroadcastNestedLoopJoin", True, "exact baseline: cross join is BROADCAST nested-loop (query side broadcast, corpus never shuffles)")],
+    )
+    audit_query(
+        "ann_ivf",
+        [("CartesianProduct", False, "IVF probe is an equi-join on __cid — no cartesian")],
+    )
+    audit_query(
+        "pii_scrub",
+        [("ArrowEvalPython", False, "PII redaction is chained built-in regexp — no Python in plan"),
+         ("BatchEvalPython", False, "no row-at-a-time Python either")],
+    )
+    audit_query(
+        "boilerplate_lines",
+        [("CartesianProduct", False, "line-frequency join is equi on line_key — no cartesian"),
+         ("ArrowEvalPython", False, "all built-ins — no Python in plan")],
     )
 
     # 6. round-2 additions: training-data ops keep scale-safe shapes
