@@ -32,6 +32,8 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     partitions than defaultParallelism, repartition up — one cheap narrow
     shuffle of the thin input.  At production scale inputs carry far more
     partitions than cores and this is a no-op."""
+    if df.isStreaming:  # .rdd is illegal on streaming plans; micro-batches
+        return df  # already partition per source shard
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
@@ -577,6 +579,114 @@ def contamination(
             "contamination",
             F.round(F.col("n_matched") / F.col("n_shingles"), 6),
         )
+    )
+
+
+# ------------------------------------------------- exact-substring dedup
+# Lee et al. ("Deduplicating Training Data Makes Language Models Better")
+# remove VERBATIM passages duplicated across documents, not just whole-doc
+# near-dups.  The suffix-array construction is replaced by the Spark-native
+# equivalent: positioned word-k-gram hashes -> cross-doc frequency -> the
+# duplicated positions merge into maximal spans per doc (interval-merge via
+# one window), and stripping is a row-side higher-order filter — no explode
+# of the corpus on the rebuild path.
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal word-index spans [start_word, end_word) covered by k-grams
+    that occur in >= ``min_docs`` distinct documents.
+
+    Shuffles: one hash-aggregate on the 64-bit gram hash (uniform keys,
+    map-side combined count-distinct), one semi-join of positioned grams
+    against the hot-gram set (thin), one window per doc for the interval
+    merge.  A gram duplicated across 10^9 docs is safe for the same reason
+    as line_doc_freq: the (gh, doc) distinct stage spreads by pair.
+    """
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    grams = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    # sequence(0, -1) would DESCEND (step defaults to -1
+                    # when stop < start) — docs shorter than k get an
+                    # explicitly empty gram list instead
+                    F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, k))).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.start", "g.gh")
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    dup = grams.join(hot, "gh", "left_semi").select(
+        id_col, "start", (F.col("start") + k).alias("end")
+    )
+    ww = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(ww.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        dup.withColumn(
+            "__new", (F.col("start") > F.coalesce(prev_max_end, F.lit(-1))).cast("int")
+        )
+        .withColumn("__grp", F.sum("__new").over(ww))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("start").alias("start_word"), F.max("end").alias("end_word"))
+        .select(id_col, "start_word", "end_word")
+    )
+    return merged
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the words covered by ``spans`` (from
+    :func:`duplicate_ngram_spans`) from each document; docs without spans
+    pass through untouched.  The rebuild is row-side: spans collect to a
+    small per-doc array (bounded by the doc's own span count) and a
+    higher-order filter drops covered word positions — the corpus is never
+    exploded on this path."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_word", "end_word")).alias("__spans")
+    )
+    w = words_col(F.col(text_col))
+    idx = F.arrays_zip(w, F.sequence(F.lit(0), F.size(w) - 1))
+    kept = F.transform(
+        F.filter(
+            idx,
+            lambda x: ~F.exists(
+                F.col("__spans"),
+                lambda s: (x["1"] >= s["start_word"]) & (x["1"] < s["end_word"]),
+            ),
+        ),
+        lambda x: x["0"],
+    )
+    out_text = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(text_col, out_text)
+        .drop("__spans")
     )
 
 

@@ -507,3 +507,82 @@ def test_remove_boilerplate_threshold_boundary(spark):
     out = {r["doc_id"]: r["text"] for r in textops.remove_boilerplate(docs, min_docs=4).collect()}
     assert out[0] == "body 0"          # 4 docs >= 4: dropped
     assert out[10] == "almost shared\nbody x"  # 2 docs < 4: kept
+
+
+def _py_dup_spans(docs: dict[int, str], k: int, min_docs: int) -> dict[int, list[tuple[int, int]]]:
+    """Brute-force oracle: positioned k-grams -> cross-doc freq -> merged spans."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)  # gram -> {doc}
+    pos = {}
+    for d, t in docs.items():
+        ws = t.split()
+        pos[d] = [(i, " ".join(ws[i : i + k])) for i in range(max(len(ws) - k + 1, 0))]
+        for _, g in pos[d]:
+            grams[g].add(d)
+    hot = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = {}
+    for d in docs:
+        ivs = sorted((i, i + k) for i, g in pos[d] if g in hot)
+        merged: list[list[int]] = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        if merged:
+            out[d] = [tuple(m) for m in merged]
+    return out
+
+
+def test_duplicate_ngram_spans_vs_python_oracle(spark):
+    """Exact-substring (Lee et al.) span finder matches the brute-force
+    oracle, incl. overlap merging, docs shorter than k, and the threshold."""
+    shared = " ".join(f"dup{i}" for i in range(20))  # 20-word verbatim passage
+    shared2 = " ".join(f"also{i}" for i in range(10))
+    docs = {
+        1: f"alpha one two three {shared} tail1 x y z",
+        2: f"beta {shared} middle {shared2} end2",
+        3: f"gamma unique words only here nothing repeats at all {shared2} omega",
+        4: "delta totally original text with no duplicated passages anywhere",
+        5: "short doc",  # < k words: no grams
+        6: f"epsilon {shared} zeta",  # third copy of shared
+    }
+    k, min_docs = 8, 2
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    spans = textops.duplicate_ngram_spans(df, k=k, min_docs=min_docs)
+    got = {}
+    for r in spans.collect():
+        got.setdefault(r["doc_id"], []).append((r["start_word"], r["end_word"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    want = _py_dup_spans(docs, k, min_docs)
+    assert got == want
+
+    # strip: covered words removed, untouched docs byte-identical
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in textops.strip_duplicate_spans(df, spans).collect()
+    }
+    for d, t in docs.items():
+        ws = t.split()
+        keep = [
+            w
+            for i, w in enumerate(ws)
+            if not any(s <= i < e for s, e in want.get(d, []))
+        ]
+        assert stripped[d] == (" ".join(keep) if d in want else t), d
+    # no dup-word survives anywhere
+    for d in (1, 2, 6):
+        assert "dup0" not in stripped[d] and "dup19" not in stripped[d]
+    assert stripped[4] == docs[4]
+
+
+def test_duplicate_ngram_spans_threshold(spark):
+    """min_docs=3: a passage shared by only two docs is NOT flagged."""
+    shared = " ".join(f"p{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"a {shared} b"), (2, f"c {shared} d"), (3, "nothing in common here at all today")],
+        "doc_id long, text string",
+    )
+    assert textops.duplicate_ngram_spans(df, k=8, min_docs=3).count() == 0
+    assert textops.duplicate_ngram_spans(df, k=8, min_docs=2).count() == 2
