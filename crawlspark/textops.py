@@ -777,6 +777,38 @@ def sample_stratified(
     )
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    seed: int = 0,
+    key_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus mixing (Pile/Dolma-style source reweighting):
+    keep each ``group_col`` value at its target sampling rate.
+
+    ``weights`` maps group value → keep-fraction in [0,1] (1.0 = keep
+    all); groups absent from the map keep ``default_weight`` (0.0 = drop,
+    the usual whitelist semantics).  The decision is the same pure
+    (key, seed) hash as :func:`sample_bernoulli`, so the mixture is
+    layout/retry-invariant and NESTS: lowering a source's weight yields a
+    subset of its higher-weight mixture at the same seed.  Zero shuffles —
+    one scan-side filter; the weight table folds into the plan as a
+    literal CASE (weights are few: one per source, not per row).
+    """
+    for g, f in weights.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError(f"default_weight must be in [0,1], got {default_weight}")
+    frac = F.lit(float(default_weight))
+    for g, f in sorted(weights.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    u = F.xxhash64(F.col(key_col), F.lit(int(seed))) / F.lit(2.0**64) + F.lit(0.5)
+    return df.filter(u < frac)
+
+
 # ------------------------------------------------- repetition filtering
 
 def repetition_stats(

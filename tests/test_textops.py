@@ -586,3 +586,36 @@ def test_duplicate_ngram_spans_threshold(spark):
     )
     assert textops.duplicate_ngram_spans(df, k=8, min_docs=3).count() == 0
     assert textops.duplicate_ngram_spans(df, k=8, min_docs=2).count() == 2
+
+
+def test_mix_corpus_deterministic_nested_weighted(spark):
+    """Source mixing: per-source keep rates hit their targets, decisions
+    are layout-invariant, lower weights nest inside higher ones, and
+    unknown sources follow default_weight."""
+    rows = [(i, ["web", "code", "books"][i % 3], f"t{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    mixed = textops.mix_corpus(df, {"web": 0.25, "code": 1.0}, seed=7)
+    per = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["code"] == 1000            # weight 1.0 keeps all
+    assert "books" not in per             # absent from map -> default 0.0
+    assert abs(per["web"] - 250) < 60     # ~25% of 1000
+
+    # layout-invariance: same selected set after repartitioning
+    ids = {r["doc_id"] for r in mixed.collect()}
+    ids_re = {r["doc_id"] for r in textops.mix_corpus(df.repartition(13), {"web": 0.25, "code": 1.0}, seed=7).collect()}
+    assert ids == ids_re
+
+    # nesting: web@0.1 is a subset of web@0.25 at the same seed
+    lo = {r["doc_id"] for r in textops.mix_corpus(df, {"web": 0.1}, seed=7).collect()}
+    hi = {r["doc_id"] for r in textops.mix_corpus(df, {"web": 0.25}, seed=7).collect()}
+    assert lo <= hi
+
+    # default_weight: unknown sources kept at the default rate
+    dflt = textops.mix_corpus(df, {"web": 0.0}, seed=7, default_weight=1.0)
+    per2 = {r["source"]: r["n"] for r in dflt.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per2 == {"code": 1000, "books": 1000}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.mix_corpus(df, {"web": 1.5})
