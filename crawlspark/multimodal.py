@@ -460,7 +460,18 @@ def parse_mp4_boxes(data: bytes) -> dict:
         "handlers": [],
     }
 
-    def walk(s: int, e: int) -> None:
+    # iterative walk with an explicit (start, end) stack: a crafted payload
+    # of thousands of nested 8-byte container headers must not blow the
+    # Python recursion limit (ADVICE r3 — verified RecursionError at ~1000
+    # nested moov boxes with the old recursive walk).  Depth is additionally
+    # capped: a real ISOBMFF tree is ~6 levels deep, so 32 is pure headroom
+    # and anything deeper is corrupt/adversarial — stop cleanly, keep what
+    # parsed (same tolerant contract as _walk_mp4_boxes).
+    _MAX_DEPTH = 32
+    stack: list[tuple[int, int, int]] = [(0, len(data), 0)]
+    while stack:
+        s, e, depth = stack.pop()
+        children: list[tuple[int, int, int]] = []
         for typ, ps, pe in _walk_mp4_boxes(data, s, e):
             if typ == b"ftyp" and pe - ps >= 4:
                 info["major_brand"] = data[ps : ps + 4].decode("latin-1")
@@ -479,7 +490,8 @@ def parse_mp4_boxes(data: bytes) -> dict:
                     info["duration_ms"] = dur * 1000 // ts
             elif typ == b"trak":
                 info["n_tracks"] += 1
-                walk(ps, pe)
+                if depth < _MAX_DEPTH:
+                    children.append((ps, pe, depth + 1))
             elif typ == b"tkhd" and pe > ps:
                 ver = data[ps]
                 base = ps + (36 if ver == 1 else 24)  # ver/flags…duration
@@ -493,9 +505,12 @@ def parse_mp4_boxes(data: bytes) -> dict:
             elif typ == b"hdlr" and pe - ps >= 12:
                 info["handlers"].append(data[ps + 8 : ps + 12].decode("latin-1"))
             elif typ in _MP4_CONTAINERS:
-                walk(ps, pe)
+                if depth < _MAX_DEPTH:
+                    children.append((ps, pe, depth + 1))
+        # LIFO stack: push this box's children reversed so they pop in
+        # document order (handlers must append title-track-first).
+        stack.extend(reversed(children))
 
-    walk(0, len(data))
     return info
 
 
@@ -537,7 +552,16 @@ def _decode_one(payload: bytes, kind: str, strict: bool) -> list[float] | None:
     if payload.startswith(_Y4M_SIG):
         return _y4m_features(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        feats = _mp4_features(payload)
+        # untrusted crawled bytes: in the non-strict pipeline path a parser
+        # failure on ONE payload must not kill the whole mapInPandas stage —
+        # fall through to the digest stub instead (the tolerant contract);
+        # strict mode propagates so tests see the real error.
+        try:
+            feats = _mp4_features(payload)
+        except Exception:
+            if strict:
+                raise
+            feats = None
         if feats is not None:  # box-parsed container metadata — real
             return feats
         # ftyp present but no parseable moov: fall through to the stub path

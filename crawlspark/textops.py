@@ -36,6 +36,23 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
         return df  # already partition per source shard
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    # Deciding from df.rdd.getNumPartitions() would, under AQE (default on),
+    # force getFinalPhysicalPlan and EXECUTE every upstream shuffle stage at
+    # plan-construction time (ADVICE r3).  So: if the optimized logical plan
+    # already contains a width-setting operator (shuffle/rebalance producers
+    # — aggregates, joins, sorts, repartitions, windows), its output width is
+    # spark.sql.shuffle.partitions (>= cores in this engine's session config)
+    # and we leave the plan alone.  Only shuffle-free plans (scans, local
+    # relations, unions of those) consult getNumPartitions — with no exchange
+    # in the plan, AQE has no stages to materialize and the call is free.
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # non-JVM test doubles etc. — fall through to .rdd
+        plan = ""
+    _WIDE = ("Aggregate", "Join", "Sort", "Repartition", "Window",
+             "Deduplicate", "Intersect", "Except")
+    if any(op in plan for op in _WIDE):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

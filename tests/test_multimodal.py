@@ -191,6 +191,23 @@ def test_mp4_box_parser_robustness():
     assert multimodal.parse_mp4_boxes(large)["major_brand"] == "isom"
 
 
+def test_mp4_deep_nesting_no_recursion_error():
+    """A crafted payload of thousands of nested container headers (ADVICE
+    r3: ~8 KB of nested moov boxes blew the recursion limit) parses cleanly:
+    the iterative walk caps depth and keeps whatever was extracted."""
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = (len(inner) + 8).to_bytes(4, "big") + b"moov" + inner
+    payload = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big") + inner
+    info = multimodal.parse_mp4_boxes(payload)  # must not raise
+    assert info["major_brand"] == "isom"
+    # and the non-strict pipeline path degrades to the digest stub, not a
+    # stage-killing exception
+    feats = multimodal._decode_one(payload, "video", strict=False)
+    assert feats is None or len(feats) == multimodal.FEATURE_DIM
+
+
 def test_mp4_strict_decode_vs_digest_fallback():
     """An ISOBMFF payload takes the real box-parse path (strict OK); an
     ftyp-only shell with no moov falls back to the digest stub and raises
