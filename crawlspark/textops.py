@@ -15,6 +15,7 @@ pair dedup.  Exact dedup is one hash-aggregate.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -943,7 +944,9 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         )
         red = F.regexp_replace(red, pat, tok)
-    return df.select(cols[0], red.alias("text"), *cols[1:])
+    # rebuilt column keeps the CALLER's name (ADVICE r3: hardcoding "text"
+    # silently renamed a text_col="body" input, breaking round-tripping)
+    return df.select(cols[0], red.alias(text_col), *cols[1:])
 
 
 # ------------------------------------------------- line-level boilerplate
@@ -961,11 +964,13 @@ def line_doc_freq(
 ) -> DataFrame:
     """(line_key, n_docs) for every distinct non-empty trimmed line.  Empty
     lines are excluded so shared blank separators never count as
-    boilerplate (removing them would collapse paragraph structure)."""
+    boilerplate (removing them would collapse paragraph structure).
+    ``line_sep`` is a literal separator, not a regex (escaped before the
+    split — ADVICE r3: '.' or '|' would silently split per-character)."""
     return (
         df.select(
             F.col(id_col).alias("__doc"),
-            F.explode(F.split(F.col(text_col), line_sep, -1)).alias("__line"),
+            F.explode(F.split(F.col(text_col), re.escape(line_sep), -1)).alias("__line"),
         )
         .filter(F.trim("__line") != "")
         .select("__doc", F.xxhash64(F.trim("__line")).alias("line_key"))
@@ -985,10 +990,11 @@ def remove_boilerplate(
     distinct documents; reassemble each document's remaining lines in their
     original order.  Documents that were ALL boilerplate survive with
     text = '' (left join back to the id spine), so downstream row counts
-    are stable."""
+    are stable.  The rebuilt column keeps the caller's ``text_col`` name
+    and ``line_sep`` is treated as a literal separator (both ADVICE r3)."""
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(line_sep), -1)).alias("pos", "line"),
     ).withColumn("line_key", F.xxhash64(F.trim("line")))
     hot = line_doc_freq(df, id_col, text_col, line_sep).filter(
         F.col("n_docs") >= min_docs
@@ -1000,10 +1006,10 @@ def remove_boilerplate(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
             ),
             line_sep,
-        ).alias("text")
+        ).alias("__rebuilt")
     )
     return df.select(id_col).join(rebuilt, id_col, "left").select(
-        F.col(id_col), F.coalesce("text", F.lit("")).alias("text")
+        F.col(id_col), F.coalesce("__rebuilt", F.lit("")).alias(text_col)
     )
 
 
@@ -1018,6 +1024,7 @@ def clean_corpus(
     max_dup_line_frac: float = 0.5,
     max_top_bigram_char_frac: float = 0.2,
     minhash_threshold: float = 0.7,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """The headline documents → training-corpus pipeline, composed from
     the individual operators in their scale-correct order (cheapest filter
@@ -1059,9 +1066,16 @@ def clean_corpus(
     # verify, canonical-pick join); Spark does not share common subtrees
     # across branches, so without a persist the whole filter pipeline above
     # re-executes per branch.  MEMORY_AND_DISK: spills, never recomputes.
+    # Cache lifetime (ADVICE r3): the persisted frame backs the RETURNED
+    # lazy plan, so it cannot be unpersisted here.  One-shot batch jobs
+    # (the normal usage) release it at session end; long-lived sessions
+    # pass ``cache_handle=[]`` and call ``.unpersist()`` on the appended
+    # frame once the result has been consumed.
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handle is not None:
+        cache_handle.append(base)
     pairs = minhash_dedup_pairs(base, id_col, text_col, threshold=minhash_threshold)
     return neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")
 

@@ -509,6 +509,44 @@ def test_remove_boilerplate_threshold_boundary(spark):
     assert out[10] == "almost shared\nbody x"  # 2 docs < 4: kept
 
 
+def test_textcol_roundtrip_and_literal_sep(spark):
+    """ADVICE r3: pii_scrub / remove_boilerplate keep the caller's text
+    column name (text_col='body' must not silently rename to 'text'), and
+    line_sep is a LITERAL separator — '|' must not regex-split per char."""
+    docs = spark.createDataFrame(
+        [(i, f"shared|body {i} a{i}@b.co") for i in range(10)] + [(99, "solo|x")],
+        "doc_id long, body string",
+    )
+    scrubbed = textops.pii_scrub(docs, text_col="body")
+    assert "body" in scrubbed.columns and "text" not in scrubbed.columns
+    assert scrubbed.filter(scrubbed.body.contains("<EMAIL>")).count() == 10
+    # round-trip: scrub output feeds boilerplate removal under the same name
+    out = textops.remove_boilerplate(scrubbed, min_docs=10, text_col="body", line_sep="|")
+    assert "body" in out.columns and "text" not in out.columns
+    rows = {r["doc_id"]: r["body"] for r in out.collect()}
+    assert rows[0] == "body 0 <EMAIL>"  # 'shared' dropped, '|' split intact
+    assert rows[99] == "solo|x"
+
+
+def test_clean_corpus_cache_handle(spark):
+    """clean_corpus exposes its internal persisted frame for caller-owned
+    release in long-lived sessions (ADVICE r3)."""
+    good = (
+        "the cat and the dog walked over a bridge of stone while the sun "
+        "set over a quiet field and the birds sang of the evening air "
+    ) * 3
+    docs = spark.createDataFrame(
+        [(i, good + f" unique tail {i} closing words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    handle: list = []
+    out = textops.clean_corpus(docs, cache_handle=handle)
+    assert out.count() > 0
+    assert len(handle) == 1 and handle[0].is_cached
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].is_cached
+
+
 def _py_dup_spans(docs: dict[int, str], k: int, min_docs: int) -> dict[int, list[tuple[int, int]]]:
     """Brute-force oracle: positioned k-grams -> cross-doc freq -> merged spans."""
     from collections import defaultdict
