@@ -446,18 +446,27 @@ def metrics_counts(spark, sf):
        FROM events""",
 )
 def win_rank_family(spark, sf):
-    """F1 per-key row_number + F5 rank/dense_rank/ntile in one pass."""
+    """F1 per-key row_number + F5 rank/dense_rank in one pass; the GLOBAL
+    ntile comes from sched.global_ntile (r2/r3 verdict carry-over): a
+    two-phase range-partitioned rank + integer-div tile with SQL-identical
+    boundaries — the plan has NO Exchange SinglePartition (asserted in
+    tools/explain_audit.py), where the old Window.orderBy funneled every
+    row through one task."""
+    from crawlspark import sched
+
     w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
-    w_g = Window.orderBy(F.desc("value"), "event_id")
-    return _t(spark, sf, "events").select(
+    ranked = _t(spark, sf, "events").select(
         "event_id",
         "user_id",
+        "value",
         F.row_number().over(w_ts).alias("rn"),
         F.rank().over(w_val).alias("rnk"),
         F.dense_rank().over(w_val).alias("drnk"),
-        F.ntile(4).over(w_g).alias("tile"),
     )
+    return sched.global_ntile(
+        ranked, 4, [F.desc("value"), "event_id"], tile_col="tile"
+    ).select("event_id", "user_id", "rn", "rnk", "drnk", "tile")
 
 
 @_q(

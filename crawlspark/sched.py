@@ -218,6 +218,96 @@ def with_seq(scheduled: DataFrame, round_no: int) -> DataFrame:
     return ranged.mapInArrow(_add_seq, schema).localCheckpoint(eager=True)
 
 
+def global_seq(
+    df: DataFrame,
+    order_cols: list,
+    seq_col: str = "seq",
+    n_parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Dense 1-based global sequence by a total order WITHOUT an
+    ``Exchange SinglePartition`` (which would funnel the whole relation
+    through one task at 10^10 scale) — the generic form of the two-phase
+    zip-with-index :func:`with_seq` uses for the fetch order.
+
+    Range-partition + sort by the order, count rows per (ordered)
+    partition (n_parts rows to the driver, never data), then emit
+    ``offset[pid] + local position`` per row in one Arrow pass.  Returns
+    ``(df_with_seq, total_rows)``; ``order_cols`` accepts strings or
+    Column expressions (e.g. ``F.desc("value")``).
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sc = df.sparkSession.sparkContext
+    n_parts = n_parts or max(sc.defaultParallelism, 1)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .localCheckpoint(eager=True)  # pin partitioning for both passes
+    )
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[int(r["pid"])] = acc
+        acc += int(r["count"])
+
+    schema = StructType(
+        [StructField(seq_col, LongType(), False)] + list(df.schema.fields)
+    )
+
+    def _add_seq(batches):
+        ctx = TaskContext.get()
+        pos = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        for batch in batches:
+            n = batch.num_rows
+            seq = pa.array(range(pos + 1, pos + n + 1), type=pa.int64())
+            pos += n
+            yield pa.RecordBatch.from_arrays(
+                [seq] + list(batch.columns),
+                names=[seq_col] + list(batch.schema.names),
+            )
+
+    # mapInArrow must run directly over `ranged`'s pinned partitions so
+    # TaskContext.partitionId() lines up with the counted offsets
+    return ranged.mapInArrow(_add_seq, schema), acc
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY ...)`` with SQL-identical tile boundaries
+    but NO single-partition window (r2/r3 verdict carry-over): the global
+    rank comes from :func:`global_seq` (range-partitioned, parallel), and
+    the tile is a pure expression on it — first ``N % n`` tiles get
+    ``ceil(N/n)`` rows, the rest ``floor(N/n)``, exactly the SQL spec.
+    Integer ``div`` arithmetic throughout (no double rounding at 10^10).
+    """
+    seq_col = "__gnt_seq"
+    with_seq_df, total = global_seq(df, order_cols, seq_col=seq_col)
+    q, rem = divmod(total, n)
+    big, cut, q_safe = q + 1, (total % n) * (q + 1), max(q, 1)
+    tile = (
+        F.when(
+            F.col(seq_col) <= cut,
+            F.expr(f"({seq_col} - 1) div {big}"),
+        )
+        .otherwise(F.lit(rem) + F.expr(f"({seq_col} - {cut} - 1) div {q_safe}"))
+        + F.lit(1)
+    ).cast("int")
+    return with_seq_df.withColumn(tile_col, tile).drop(seq_col)
+
+
 def log_with_seq(fetch_log: DataFrame) -> DataFrame:
     """Dense (round, seq, url) from a (round, sched_ts, host, url) log —
     the validation-time view of the fetch order (small data; plain window)."""

@@ -360,3 +360,34 @@ def test_cap_frontier_per_host_best_first(spark):
         r["url"] for r in sched.cap_frontier(fr.repartition(9), per_host=10, salt=4).collect()
     )
     assert again == sorted(r["url"] for r in capped.collect())
+
+
+def test_global_seq_matches_window_rank(spark):
+    """global_seq's two-phase zip equals row_number over the total order,
+    for any partition layout, with no single-partition exchange."""
+    rows = [(i, float((i * 37) % 101), f"k{i % 7}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, value double, key string").repartition(13)
+    out, total = sched.global_seq(df, [F.desc("value"), "id"], seq_col="seq")
+    assert total == 500
+    got = {r["id"]: r["seq"] for r in out.collect()}
+    from pyspark.sql import Window as W
+
+    ref = df.withColumn("seq", F.row_number().over(W.orderBy(F.desc("value"), "id")))
+    want = {r["id"]: r["seq"] for r in ref.collect()}
+    assert got == want
+    assert "SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("n_rows,n_tiles", [(500, 4), (10, 4), (3, 4), (17, 5), (100, 7)])
+def test_global_ntile_matches_sql_ntile(spark, n_rows, n_tiles):
+    """global_ntile boundaries are identical to SQL ntile for even and
+    ragged splits, including N < n."""
+    rows = [(i, float((i * 29) % 97)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "id long, value double").repartition(7)
+    out = sched.global_ntile(df, n_tiles, [F.desc("value"), "id"], tile_col="tile")
+    got = {r["id"]: r["tile"] for r in out.collect()}
+    from pyspark.sql import Window as W
+
+    ref = df.withColumn("tile", F.ntile(n_tiles).over(W.orderBy(F.desc("value"), "id")))
+    want = {r["id"]: r["tile"] for r in ref.collect()}
+    assert got == want

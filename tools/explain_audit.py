@@ -187,6 +187,11 @@ def main() -> int:
         [("CartesianProduct", False, "IVF probe is an equi-join on __cid — no cartesian")],
     )
     audit_query(
+        "win_rank_family",
+        [("SinglePartition", False,
+          "global ntile is two-phase (sched.global_ntile) — no Exchange SinglePartition")],
+    )
+    audit_query(
         "pii_scrub",
         [("ArrowEvalPython", False, "PII redaction is chained built-in regexp — no Python in plan"),
          ("BatchEvalPython", False, "no row-at-a-time Python either")],
