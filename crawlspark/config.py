@@ -56,6 +56,13 @@ class CrawlConfig:
     #    cluster) — survives executor loss AND truncates lineage; the
     #    cluster-grade setting.
     persist_mode: str = os.environ.get("CRAWLSPARK_PERSIST", "checkpoint")
+    # seen-filter sidecar implementation: "bloom" (append-only, ~10 bits/
+    # key — the default) or "cuckoo" (~16 bits/key, supports IN-PLACE
+    # per-bucket deletes — use for recrawl workloads where due urls are
+    # invalidated between runs instead of rebuilding the whole filter;
+    # crawl.invalidate_recrawl).  Identical probe/build contract; outputs
+    # are byte-identical either way (replay-tested).
+    filter_kind: str = "bloom"
     # seen' is a lazy union of per-round checkpointed deltas (O(batch)
     # absorb); every this-many rounds the union is re-materialized flat so
     # plan depth stays bounded on long unsnapshotted crawls.

@@ -28,8 +28,20 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import bloom, config, dedup, extract, fetch, metrics, polite, sched, state, urlfilter, urlnorm
+from . import bloom, config, cuckoo, dedup, extract, fetch, metrics, polite, sched, state, urlfilter, urlnorm
 from .schemas import FRONTIER_SCHEMA
+
+
+def _filter_mod(kind: str):
+    """Seen-filter implementation for ``CrawlConfig.filter_kind`` — bloom
+    (append-only, smallest) or cuckoo (supports in-place deletes for
+    recrawl invalidation).  Both expose the same build/probe/write_sidecar
+    contract, so the loop is agnostic."""
+    if kind == "cuckoo":
+        return cuckoo
+    if kind == "bloom":
+        return bloom
+    raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo', got {kind!r}")
 
 
 def _materialize(df: DataFrame, persist_mode: str) -> DataFrame:
@@ -133,7 +145,9 @@ def run_round(
     # A false positive is therefore re-checked, never dropped (no-false-
     # negative invariant makes the fast path exact).
     if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
-        probed = bloom.probe(frontier, bloom_sidecar, keep_maybe_seen=True)
+        probed = _filter_mod(cfg.filter_kind).probe(
+            frontier, bloom_sidecar, keep_maybe_seen=True
+        )
         sure_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         to_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         candidates = sure_unseen.unionByName(dedup.unseen(to_check, seen))
@@ -274,6 +288,14 @@ def crawl(
             spark, snapshot_root, run_id, expected_n_buckets=cfg.n_buckets
         )
         start_round = last + 1
+        snap_kind = _mf.get("filter_kind", "bloom")
+        if snap_kind != cfg.filter_kind:
+            # probing a bloom sidecar with the cuckoo reader (or vice
+            # versa) would misinterpret the bytes — refuse loudly
+            raise ValueError(
+                f"snapshot filter_kind {snap_kind!r} != resuming config "
+                f"{cfg.filter_kind!r}; resume with the original filter_kind"
+            )
         sidecar = state.bloom_path(snapshot_root, run_id, last)
     else:
         frontier = seeds_to_frontier(seeds, cfg.n_buckets)
@@ -341,7 +363,7 @@ def crawl(
             ).withColumn("rep", F.round(F.col("q_sum") / F.col("n"), 6))
         rounds_run += 1
         if snapshot_root is not None:
-            bloom_df = bloom.build(seen)
+            bloom_df = _filter_mod(cfg.filter_kind).build(seen)
             all_metrics = out["metrics"][0]
             for mdf in out["metrics"][1:]:
                 all_metrics = all_metrics.unionByName(mdf)
@@ -355,6 +377,7 @@ def crawl(
                 fetch_log=out["fetch_log"],
                 metrics=all_metrics,
                 n_buckets=cfg.n_buckets,
+                extra={"filter_kind": cfg.filter_kind},
             )
             sidecar = state.bloom_path(snapshot_root, run_id, r)
 
@@ -376,3 +399,41 @@ def crawl(
         "rounds_run": rounds_run,
         "run_id": run_id,
     }
+
+
+def invalidate_recrawl(
+    spark: SparkSession,
+    seen: DataFrame,
+    due: DataFrame,
+    n_buckets: int,
+    sidecar: str | None = None,
+    filter_kind: str = "bloom",
+    url_col: str = "url",
+) -> tuple[DataFrame, DataFrame | None]:
+    """Recrawl invalidation: make ``due`` urls (sched.recrawl_schedule's
+    output — canonical urls whose freshness interval has elapsed) fetchable
+    again by removing them from the exact seen set, and — with the CUCKOO
+    filter — deleting their fingerprints from the sidecar IN PLACE
+    (cuckoo.remove, one cogrouped pass over only the affected buckets).
+
+    Bloom cannot delete: bloom callers get ``(seen', None)`` and the
+    sidecar self-heals at the next snapshot's full rebuild (one |seen|
+    pass) — until then the stale filter only costs extra exact-check
+    traffic, never correctness, because a filter hit is always re-verified
+    by the anti-join (the no-false-negative contract needs the filter to
+    only ever OVER-approximate seen, which a stale filter does).
+
+    Returns ``(seen', filters')`` — filters' is the edited cuckoo sidecar
+    DataFrame to write back via cuckoo.write_sidecar, or None for bloom.
+    """
+    deletes = (
+        due.select(F.xxhash64(F.col(url_col)).alias("url_hash"))
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), n_buckets))
+        .distinct()
+    )
+    new_seen = seen.join(deletes.select("url_hash"), "url_hash", "left_anti")
+    new_filters = None
+    if sidecar is not None and filter_kind == "cuckoo":
+        filters = spark.read.parquet(sidecar)
+        new_filters = cuckoo.remove(filters, deletes)
+    return new_seen, new_filters

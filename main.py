@@ -58,6 +58,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--max-depth", type=int, default=10)
     p.add_argument("--n-buckets", type=int, default=None)
     p.add_argument("--salt", type=int, default=None)
+    p.add_argument(
+        "--filter-kind",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="seen-filter sidecar: bloom (append-only) or cuckoo (supports "
+        "in-place deletes for recrawl invalidation)",
+    )
     p.add_argument("--snapshot-root", default=None)
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
@@ -152,6 +159,8 @@ def main(argv: list[str]) -> int:
         kw["persist_mode"] = args.persist_mode
     if args.max_frontier_per_host:
         kw["max_frontier_per_host"] = args.max_frontier_per_host
+    if args.filter_kind:
+        kw["filter_kind"] = args.filter_kind
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,

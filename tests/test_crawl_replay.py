@@ -295,3 +295,90 @@ def test_max_frontier_per_host_bounds_frontier(spark, fixtures):
     assert all(r["n"] <= 2 for r in per_host)
     # and it still fetched pages each round
     assert result["fetch_log"].count() > 0
+
+
+def test_cuckoo_filter_mode_identical_and_resumes(spark, fixtures, tmp_path):
+    """filter_kind='cuckoo' (snapshots on, so the sidecar is really built
+    and probed from round 1) replays the exact same fetch order, text, and
+    seen set as bloom mode; resume works; a filter-kind mismatch on resume
+    is refused loudly."""
+    import dataclasses
+
+    oracle = fixtures[-1]
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    root = str(tmp_path / "snaps_ck")
+    cfg_ck = dataclasses.replace(CFG, filter_kind="cuckoo")
+    result = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=cfg_ck,
+        snapshot_root=root, run_id="ck",
+    )
+    assert _fetch_tuples(result) == sorted(oracle.fetch_log)
+    got_seen = {r["url_hash"] for r in result["seen"].collect()}
+    want_seen = {
+        r["h"]
+        for r in spark.createDataFrame([(u,) for u in sorted(oracle.seen)], "url string")
+        .select(F.xxhash64("url").alias("h"))
+        .collect()
+    }
+    assert got_seen == want_seen
+
+    # partial run + resume in cuckoo mode reproduces the full goldens
+    # (resume returns only the NEW rounds' log — concat with the partial's)
+    partial_cfg = dataclasses.replace(cfg_ck, rounds=2)
+    part = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=partial_cfg,
+        snapshot_root=root, run_id="ck_resume",
+    )
+    resumed = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=cfg_ck,
+        snapshot_root=root, run_id="ck_resume", resume=True,
+    )
+    assert sorted(_fetch_tuples(part) + _fetch_tuples(resumed)) == sorted(oracle.fetch_log)
+
+    # resuming a cuckoo snapshot with the bloom reader must refuse
+    with pytest.raises(ValueError, match="filter_kind"):
+        crawl.crawl(
+            spark, seeds_df, pages_df, robots_df, cfg=CFG,
+            snapshot_root=root, run_id="ck_resume", resume=True,
+        )
+
+
+def test_invalidate_recrawl_cuckoo_deletes_in_place(spark, fixtures, tmp_path):
+    """Recrawl invalidation: due urls leave the exact seen set AND the
+    cuckoo sidecar (in-place per-bucket delete) so the next round re-
+    schedules exactly them; untouched urls stay filtered."""
+    import dataclasses
+
+    from crawlspark import cuckoo, state
+
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    root = str(tmp_path / "snaps_inv")
+    cfg_ck = dataclasses.replace(CFG, filter_kind="cuckoo")
+    result = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df, cfg=cfg_ck,
+        snapshot_root=root, run_id="inv",
+    )
+    fetched = sorted({u for _, _, u in _fetch_tuples(result)})
+    due_urls = fetched[:5]
+    due = spark.createDataFrame([(u,) for u in due_urls], "url string")
+    sidecar = state.bloom_path(root, "inv", cfg_ck.rounds - 1)
+    seen2, filters2 = crawl.invalidate_recrawl(
+        spark, result["seen"], due, cfg_ck.n_buckets,
+        sidecar=sidecar, filter_kind="cuckoo",
+    )
+    assert filters2 is not None
+    new_sidecar = str(tmp_path / "sidecar_inv2")
+    cuckoo.write_sidecar(filters2, new_sidecar)
+
+    # the due urls now pass both the filter and the exact anti-join...
+    due_frontier = crawl.seeds_to_frontier(due, cfg_ck.n_buckets)
+    from crawlspark import dedup
+
+    passed = cuckoo.probe(due_frontier, new_sidecar)
+    assert passed.count() == len(due_urls)  # deleted from the sidecar
+    unseen = dedup.unseen(due_frontier, seen2)
+    assert unseen.count() == len(due_urls)  # deleted from the exact set
+    # ...and a NON-due fetched url is still held back by the exact set
+    other = spark.createDataFrame([(fetched[-1],)], "url string")
+    other_frontier = crawl.seeds_to_frontier(other, cfg_ck.n_buckets)
+    assert dedup.unseen(other_frontier, seen2).count() == 0
