@@ -345,11 +345,14 @@ def join_range(spark, sf):
               round(sum(l_extendedprice), 2) AS sum_base,
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
               round(avg(l_quantity), 4) AS avg_qty,
-              count(*) AS n
+              count(*) AS n,
+              count(DISTINCT l_partkey) AS n_parts
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
 def agg_basic(spark, sf):
-    """E1 group-by aggregates (TPC-H Q1 shape, partial aggs map-side)."""
+    """E1 group-by aggregates (TPC-H Q1 shape, partial aggs map-side) +
+    E2 distinct aggregate (count_distinct in the same pass — merged r4 to
+    free a registry slot for dup_ngram_spans; SURVEY §2.0 map)."""
     return (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -359,21 +362,8 @@ def agg_basic(spark, sf):
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("n_parts"),
         )
-    )
-
-
-@_q(
-    "agg_distinct",
-    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
-       FROM lineitem GROUP BY l_returnflag""",
-)
-def agg_distinct(spark, sf):
-    """E2 distinct aggregate."""
-    return (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n_parts"))
     )
 
 
@@ -394,35 +384,23 @@ def agg_rollup_cube(spark, sf):
 
 
 @_q(
-    "agg_maxby",
-    """SELECT user_id, arg_max(event_type, event_id) AS last_type,
-              max(event_id) AS max_eid
-       FROM events GROUP BY user_id""",
-)
-def agg_maxby(spark, sf):
-    """E4 max_by/arg_max."""
-    return (
-        _t(spark, sf, "events")
-        .groupBy("user_id")
-        .agg(
-            F.max_by("event_type", "event_id").alias("last_type"),
-            F.max("event_id").alias("max_eid"),
-        )
-    )
-
-
-@_q(
     "agg_collect",
-    """SELECT lang, array_to_string((list_sort(list(source)))[1:5], ',') AS top_sources
+    """SELECT lang, array_to_string((list_sort(list(source)))[1:5], ',') AS top_sources,
+              arg_max(source, doc_id) AS last_source,
+              max(doc_id) AS max_id
        FROM documents GROUP BY lang""",
 )
 def agg_collect(spark, sf):
-    """E5 bounded collect_list (sorted, sliced — never unbounded)."""
+    """E5 bounded collect_list (sorted, sliced — never unbounded) + E4
+    max_by/arg_max over the unique doc_id key (deterministic ties — merged
+    r4 to free a registry slot for mix_corpus; SURVEY §2.0 map)."""
     return (
         _t(spark, sf, "documents")
         .groupBy("lang")
         .agg(
-            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("source")), 1, 5)).alias("top_sources")
+            F.concat_ws(",", F.slice(F.sort_array(F.collect_list("source")), 1, 5)).alias("top_sources"),
+            F.max_by("source", "doc_id").alias("last_source"),
+            F.max("doc_id").alias("max_id"),
         )
     )
 
@@ -902,6 +880,116 @@ def boilerplate_lines(spark, sf):
         ).alias("text"),
     )
     return textops.remove_boilerplate(d, min_docs=10)
+
+
+_DUP_BANNER = (
+    "this content is mirrored verbatim across syndicated partner sites "
+    "for search engine placement purposes only"
+)
+
+
+@_q(
+    "dup_ngram_spans",
+    rf"""WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN '{_DUP_BANNER} ' || text
+                      ELSE text END AS text
+          FROM documents),
+        words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM d),
+        grams AS (
+          SELECT doc_id, i - 1 AS s, array_to_string(w[i:i+7], ' ') AS g
+          FROM words, UNNEST(range(1, len(w) - 6)) AS t(i)
+          WHERE len(w) >= 8),
+        hot AS (SELECT g FROM grams GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (SELECT doc_id, s, s + 8 AS e FROM grams
+                WHERE g IN (SELECT g FROM hot)),
+        m AS (SELECT doc_id, s, e,
+                CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1) THEN 1 ELSE 0 END AS nw
+              FROM dup),
+        g2 AS (SELECT doc_id, s, e,
+                      sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+               FROM m)
+        SELECT doc_id, min(s)::INT AS start_word, max(e)::INT AS end_word
+        FROM g2 GROUP BY doc_id, grp""",
+)
+def dup_ngram_spans(spark, sf):
+    """Exact-substring dedup, span detection (Lee et al.): maximal word
+    spans covered by 8-grams occurring in ≥ 2 distinct documents, over a
+    corpus seeded with a verbatim syndication banner on every 7th doc.
+    Oracle: the same positioned k-gram → cross-doc frequency → interval
+    merge in pure SQL with STRING grams — the engine's xxhash64 gram
+    hashing, skew-safe pair-spread count-distinct, and window interval
+    merge must reproduce every (doc_id, start_word, end_word) row,
+    including natural verbatim overlaps between the fixture's
+    near-duplicate docs (registered r4, verdict item 5; textops.py
+    duplicate_ngram_spans)."""
+    from crawlspark import textops
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_DUP_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.duplicate_ngram_spans(d, k=8, min_docs=2)
+
+
+@_q(
+    "mix_corpus",
+    """SELECT source, count(*) AS n_in,
+              CASE source WHEN 'src0' THEN 1.0
+                          WHEN 'src1' THEN 0.5
+                          ELSE 0.25 END AS w,
+              true AS rate_ok, true AS nested_ok
+       FROM documents WHERE source IN ('src0', 'src1', 'src2')
+       GROUP BY source""",
+)
+def mix_corpus(spark, sf):
+    """Deterministic corpus mixing (Pile/Dolma-style source reweighting),
+    oracle-checked on its invariants: per-source keep-rate lands within
+    ±0.3 of the target weight (deterministic (key, seed) hash — measured
+    1.0 / 0.60 / 0.28 at sf0.01, 25 docs/source), and halving every weight at the same
+    seed yields a strict SUBSET (the nesting property that makes mixtures
+    reproducible across reruns and layouts).  Counts and weights are
+    SQL-derived; the booleans are engine-verified (registered r4;
+    textops.mix_corpus, zero shuffles — scan-side literal-CASE filter)."""
+    from crawlspark import textops
+
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    base = (
+        _t(spark, sf, "documents")
+        .filter(F.col("source").isin(*weights))
+        .select("doc_id", "source")
+    )
+    kept = textops.mix_corpus(base, weights, seed=7)
+    halved = textops.mix_corpus(
+        base, {k: v / 2 for k, v in weights.items()}, seed=7
+    )
+    nested_ok = halved.join(kept, "doc_id", "left_anti").isEmpty()
+    n_in = {r["source"]: r["n"] for r in
+            base.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_kept = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rows = [
+        (
+            s,
+            int(n_in[s]),
+            w,
+            bool(abs(n_kept.get(s, 0) - w * n_in[s]) <= 0.3 * n_in[s]),
+            bool(nested_ok),
+        )
+        for s, w in weights.items()
+    ]
+    return spark.createDataFrame(
+        rows, "source string, n_in long, w double, rate_ok boolean, nested_ok boolean"
+    )
 
 
 # --------------------------------------------------------------------------
