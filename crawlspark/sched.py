@@ -442,9 +442,13 @@ def with_priorities(frontier: DataFrame, prios: DataFrame) -> DataFrame:
 
 
 def tiers(hosts: DataFrame, n: int = 4) -> DataFrame:
-    """F5: host-tier bucketing for scheduling fairness (ntile by backlog)."""
-    w = Window.orderBy(F.desc("pending"), "host")
-    return hosts.withColumn("tier", F.ntile(n).over(w))
+    """F5: host-tier bucketing for scheduling fairness (ntile by backlog).
+
+    SQL-identical boundaries via :func:`global_ntile` — the host table is
+    ~10^7-10^8 rows at frontier scale, so even this "small" relation must
+    not funnel through an ``Exchange SinglePartition`` window (r4; the
+    per-url twin of this fix is win_rank_family's tile)."""
+    return global_ntile(hosts, n, [F.desc("pending"), "host"], tile_col="tier")
 
 
 def pagerank(

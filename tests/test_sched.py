@@ -391,3 +391,20 @@ def test_global_ntile_matches_sql_ntile(spark, n_rows, n_tiles):
     ref = df.withColumn("tile", F.ntile(n_tiles).over(W.orderBy(F.desc("value"), "id")))
     want = {r["id"]: r["tile"] for r in ref.collect()}
     assert got == want
+
+
+def test_tiers_matches_sql_ntile(spark):
+    """Host-tier bucketing equals SQL ntile over (pending DESC, host) with
+    no single-partition window (rewritten over global_ntile in r4)."""
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example", (i * 13) % 50) for i in range(30)],
+        "host string, pending long",
+    )
+    out = sched.tiers(hosts, n=4)
+    got = {r["host"]: r["tier"] for r in out.collect()}
+    from pyspark.sql import Window as W
+
+    ref = hosts.withColumn("tier", F.ntile(4).over(W.orderBy(F.desc("pending"), "host")))
+    want = {r["host"]: r["tier"] for r in ref.collect()}
+    assert got == want
+    assert "SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
