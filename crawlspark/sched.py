@@ -23,6 +23,8 @@ Two physical paths produce the identical schedule:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -223,6 +225,7 @@ def global_seq(
     order_cols: list,
     seq_col: str = "seq",
     n_parts: int | None = None,
+    reliable: bool = False,
 ) -> tuple[DataFrame, int]:
     """Dense 1-based global sequence by a total order WITHOUT an
     ``Exchange SinglePartition`` (which would funnel the whole relation
@@ -242,11 +245,23 @@ def global_seq(
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or max(sc.defaultParallelism, 1)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n_parts, *cols)
-        .sortWithinPartitions(*cols)
-        .localCheckpoint(eager=True)  # pin partitioning for both passes
-    )
+    # the checkpoint pins partitioning for both passes (counts + offset
+    # emit).  localCheckpoint is executor-stored — an executor loss between
+    # the passes kills the job on a real cluster; pass reliable=True to use
+    # the configured reliable checkpoint dir instead (same tradeoff as
+    # crawl._materialize's persist_mode="disk").
+    ranged = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    if reliable:
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(
+                os.environ.get("CRAWLSPARK_CKPT_DIR")
+                or tempfile.mkdtemp(prefix="crawlspark-ckpt-")
+            )
+        ranged = ranged.checkpoint(eager=True)
+    else:
+        ranged = ranged.localCheckpoint(eager=True)
     counts = (
         ranged.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")
@@ -285,6 +300,7 @@ def global_ntile(
     n: int,
     order_cols: list,
     tile_col: str = "tile",
+    reliable: bool = False,
 ) -> DataFrame:
     """``ntile(n) OVER (ORDER BY ...)`` with SQL-identical tile boundaries
     but NO single-partition window (r2/r3 verdict carry-over): the global
@@ -294,7 +310,7 @@ def global_ntile(
     Integer ``div`` arithmetic throughout (no double rounding at 10^10).
     """
     seq_col = "__gnt_seq"
-    with_seq_df, total = global_seq(df, order_cols, seq_col=seq_col)
+    with_seq_df, total = global_seq(df, order_cols, seq_col=seq_col, reliable=reliable)
     q, rem = divmod(total, n)
     big, cut, q_safe = q + 1, (total % n) * (q + 1), max(q, 1)
     tile = (
