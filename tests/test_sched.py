@@ -408,3 +408,16 @@ def test_tiers_matches_sql_ntile(spark):
     want = {r["host"]: r["tier"] for r in ref.collect()}
     assert got == want
     assert "SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_seq_ntile_edge_inputs(spark):
+    """Empty input and single-row input survive the two-phase machinery."""
+    empty = spark.createDataFrame([], "id long, value double")
+    out, total = sched.global_seq(empty, [F.desc("value"), "id"])
+    assert total == 0 and out.count() == 0
+    tiled = sched.global_ntile(empty, 4, ["id"])
+    assert tiled.count() == 0
+    one = spark.createDataFrame([(1, 2.0)], "id long, value double")
+    out1, total1 = sched.global_seq(one, ["id"])
+    assert total1 == 1 and out1.collect()[0]["seq"] == 1
+    assert sched.global_ntile(one, 4, ["id"]).collect()[0]["tile"] == 1
