@@ -980,9 +980,11 @@ def mix_corpus(spark, sf):
     rows = [
         (
             s,
-            int(n_in[s]),
+            int(n_in.get(s, 0)),
             w,
-            bool(abs(n_kept.get(s, 0) - w * n_in[s]) <= 0.3 * n_in[s]),
+            # a source absent from the fixture passes iff nothing was kept
+            bool(abs(n_kept.get(s, 0) - w * n_in.get(s, 0)) <= 0.3 * n_in.get(s, 0))
+            if n_in.get(s, 0) else n_kept.get(s, 0) == 0,
             bool(nested_ok),
         )
         for s, w in weights.items()

@@ -425,6 +425,18 @@ def invalidate_recrawl(
 
     Returns ``(seen', filters')`` — filters' is the edited cuckoo sidecar
     DataFrame to write back via cuckoo.write_sidecar, or None for bloom.
+    Two invariants (r4 review):
+
+    * sidecar deletes are restricted to hashes actually IN ``seen``
+      (semi-join): ``cuckoo.remove`` deletes one fingerprint copy per
+      requested hash, so deleting a never-inserted hash could strip a
+      colliding seen url's copy and break the filter's
+      no-false-negative contract (the fast path would skip the exact
+      anti-join for an already-crawled url);
+    * filters' is eagerly pinned (localCheckpoint) before return, so
+      writing it back OVER the same sidecar path is legal — a lazy plan
+      would still be reading the path it overwrites and Spark would
+      refuse.
     """
     deletes = (
         due.select(F.xxhash64(F.col(url_col)).alias("url_hash"))
@@ -435,5 +447,8 @@ def invalidate_recrawl(
     new_filters = None
     if sidecar is not None and filter_kind == "cuckoo":
         filters = spark.read.parquet(sidecar)
-        new_filters = cuckoo.remove(filters, deletes)
+        in_seen = deletes.join(
+            seen.select("url_hash"), "url_hash", "left_semi"
+        )
+        new_filters = cuckoo.remove(filters, in_seen).localCheckpoint(eager=True)
     return new_seen, new_filters

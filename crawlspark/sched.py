@@ -245,23 +245,29 @@ def global_seq(
     sc = df.sparkSession.sparkContext
     n_parts = n_parts or max(sc.defaultParallelism, 1)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    # the checkpoint pins partitioning for both passes (counts + offset
-    # emit).  localCheckpoint is executor-stored — an executor loss between
-    # the passes kills the job on a real cluster; pass reliable=True to use
-    # the configured reliable checkpoint dir instead (same tradeoff as
-    # crawl._materialize's persist_mode="disk").
-    ranged = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
-    if reliable:
-        if sc.getCheckpointDir() is None:
-            import tempfile
 
-            sc.setCheckpointDir(
-                os.environ.get("CRAWLSPARK_CKPT_DIR")
-                or tempfile.mkdtemp(prefix="crawlspark-ckpt-")
-            )
-        ranged = ranged.checkpoint(eager=True)
-    else:
-        ranged = ranged.localCheckpoint(eager=True)
+    # the checkpoints pin partitioning for both passes (counts + offset
+    # emit) AND pin the emitted seq against downstream plan rewrites (see
+    # the return).  localCheckpoint is executor-stored — an executor loss
+    # between the passes kills the job on a real cluster; pass
+    # reliable=True to use the configured reliable checkpoint dir instead
+    # (same tradeoff as crawl._materialize's persist_mode="disk").  NOTE:
+    # the CRAWLSPARK_CKPT_DIR-unset fallback is a DRIVER-LOCAL tempdir —
+    # fine in local mode, NOT executor-visible on a real cluster; set the
+    # env var to an HDFS/S3 path there.
+    def _pin(frame: DataFrame) -> DataFrame:
+        if reliable:
+            if sc.getCheckpointDir() is None:
+                import tempfile
+
+                sc.setCheckpointDir(
+                    os.environ.get("CRAWLSPARK_CKPT_DIR")
+                    or tempfile.mkdtemp(prefix="crawlspark-ckpt-")
+                )
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    ranged = _pin(df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols))
     counts = (
         ranged.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")
@@ -291,8 +297,12 @@ def global_seq(
             )
 
     # mapInArrow must run directly over `ranged`'s pinned partitions so
-    # TaskContext.partitionId() lines up with the counted offsets
-    return ranged.mapInArrow(_add_seq, schema), acc
+    # TaskContext.partitionId() lines up with the counted offsets — AND the
+    # result itself must be pinned (same hazard with_seq documents): if the
+    # lazy mapInArrow plan were embedded under e.g. a union or coalesce,
+    # partition ids would be renumbered at execution time and _add_seq
+    # would read misaligned offsets, silently corrupting seq (r4 review).
+    return _pin(ranged.mapInArrow(_add_seq, schema)), acc
 
 
 def global_ntile(

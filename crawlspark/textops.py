@@ -35,24 +35,33 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     partitions than cores and this is a no-op."""
     if df.isStreaming:  # .rdd is illegal on streaming plans; micro-batches
         return df  # already partition per source shard
+    import re as _re
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     # Deciding from df.rdd.getNumPartitions() would, under AQE (default on),
     # force getFinalPhysicalPlan and EXECUTE every upstream shuffle stage at
-    # plan-construction time (ADVICE r3).  So: if the optimized logical plan
-    # already contains a width-setting operator (shuffle/rebalance producers
-    # — aggregates, joins, sorts, repartitions, windows), its output width is
-    # spark.sql.shuffle.partitions (>= cores in this engine's session config)
-    # and we leave the plan alone.  Only shuffle-free plans (scans, local
-    # relations, unions of those) consult getNumPartitions — with no exchange
-    # in the plan, AQE has no stages to materialize and the call is free.
+    # plan-construction time (ADVICE r3).  The width-setting operator is a
+    # SHUFFLE exchange, so consult the PHYSICAL pre-AQE plan (sparkPlan —
+    # planning only, runs no jobs): if it contains a non-broadcast Exchange,
+    # the output width is spark.sql.shuffle.partitions (>= cores in this
+    # engine's session config, and AQE's parallelismFirst coalescing floors
+    # at defaultParallelism) and we leave the plan alone.  Plans with no
+    # shuffle — scans, local relations, unions, and BROADCAST-join-only
+    # plans whose stream side keeps the scan's 1-2 partitions (r4 review:
+    # the logical-plan 'Join' check wrongly skipped those) — consult
+    # getNumPartitions; with at most a broadcast stage to materialize, the
+    # call stays cheap.
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # executedPlan builds the (un-executed) AdaptiveSparkPlan — its
+        # toString prints the initial physical plan WITH the exchanges
+        # EnsureRequirements inserted, running no jobs (sparkPlan would be
+        # pre-EnsureRequirements and show no Exchange at all)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        has_shuffle = _re.search(r"(?<!Broadcast)(?<!Reused)Exchange", plan) is not None
     except Exception:  # non-JVM test doubles etc. — fall through to .rdd
-        plan = ""
-    _WIDE = ("Aggregate", "Join", "Sort", "Repartition", "Window",
-             "Deduplicate", "Intersect", "Except")
-    if any(op in plan for op in _WIDE):
+        has_shuffle = False
+    if has_shuffle:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -360,24 +360,33 @@ def test_invalidate_recrawl_cuckoo_deletes_in_place(spark, fixtures, tmp_path):
     )
     fetched = sorted({u for _, _, u in _fetch_tuples(result)})
     due_urls = fetched[:5]
-    due = spark.createDataFrame([(u,) for u in due_urls], "url string")
+    # a never-seen url in the due list must be a no-op on the sidecar
+    # (deleting a never-inserted hash could strip a colliding seen url's
+    # fingerprint copy and break the no-false-negative contract)
+    due = spark.createDataFrame(
+        [(u,) for u in due_urls] + [("https://never-crawled.example/x",)],
+        "url string",
+    )
     sidecar = state.bloom_path(root, "inv", cfg_ck.rounds - 1)
     seen2, filters2 = crawl.invalidate_recrawl(
         spark, result["seen"], due, cfg_ck.n_buckets,
         sidecar=sidecar, filter_kind="cuckoo",
     )
     assert filters2 is not None
-    new_sidecar = str(tmp_path / "sidecar_inv2")
-    cuckoo.write_sidecar(filters2, new_sidecar)
+    # in-place rewrite of the SAME sidecar path must work (filters2 is
+    # pinned eagerly; a lazy plan would still be reading the path)
+    cuckoo.write_sidecar(filters2, sidecar)
+    new_sidecar = sidecar
 
     # the due urls now pass both the filter and the exact anti-join...
     due_frontier = crawl.seeds_to_frontier(due, cfg_ck.n_buckets)
     from crawlspark import dedup
 
     passed = cuckoo.probe(due_frontier, new_sidecar)
-    assert passed.count() == len(due_urls)  # deleted from the sidecar
+    # 5 deleted + 1 never-present: all 6 pass the filter now
+    assert passed.count() == len(due_urls) + 1
     unseen = dedup.unseen(due_frontier, seen2)
-    assert unseen.count() == len(due_urls)  # deleted from the exact set
+    assert unseen.count() == len(due_urls) + 1  # deleted from the exact set
     # ...and a NON-due fetched url is still held back by the exact set
     other = spark.createDataFrame([(fetched[-1],)], "url string")
     other_frontier = crawl.seeds_to_frontier(other, cfg_ck.n_buckets)

@@ -657,3 +657,26 @@ def test_mix_corpus_deterministic_nested_weighted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         textops.mix_corpus(df, {"web": 1.5})
+
+
+def test_ensure_parallelism_plan_shapes(spark, tmp_path):
+    """r4 review: scan-only AND broadcast-join-only plans (no shuffle
+    exchange — the stream side keeps the scan's 1-2 partitions) must
+    repartition up; shuffle-bearing plans are left alone (their width is
+    already shuffle.partitions)."""
+    target = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "narrow")
+    spark.createDataFrame([(i, f"t {i}") for i in range(200)],
+                          "doc_id long, text string").coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert scan.rdd.getNumPartitions() < target
+    # scan-only: widened
+    assert textops.ensure_parallelism(scan).rdd.getNumPartitions() >= target
+    # broadcast-join-only: stream side is still the 1-partition scan
+    dim = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    bj = scan.join(F.broadcast(dim), "doc_id")
+    assert "BroadcastHashJoin" in bj._jdf.queryExecution().sparkPlan().toString()
+    assert textops.ensure_parallelism(bj).rdd.getNumPartitions() >= target
+    # shuffle-bearing: untouched (object identity — no extra repartition)
+    agg = scan.groupBy("doc_id").count()
+    assert textops.ensure_parallelism(agg) is agg
