@@ -34,17 +34,43 @@ def path_of(url_col: Column) -> Column:
     return F.when(p == "", "/").otherwise(p)
 
 
+def _rule_match(path: Column, pattern: Column) -> Column:
+    """RFC-9309 path-pattern match, all JVM-side string expressions:
+    ``*`` matches any character sequence, a TRAILING ``$`` anchors the end
+    (an interior ``$`` is a literal, per the REP grammar), everything else
+    is a literal prefix.  Patterns with neither metachar take the plain
+    ``startswith`` fast path (the common case; identical semantics)."""
+    simple = (~pattern.contains("*")) & (~pattern.contains("$"))
+    # 1. escape every Java-regex metachar in the raw pattern
+    esc = F.regexp_replace(pattern, r"([\\\[\](){}.+\-^?|$*])", r"\\$1")
+    # 2. the escaped '\*' is the robots wildcard → '.*'
+    rx = F.regexp_replace(esc, r"\\\*", ".*")
+    # 3. a TRAILING escaped '\$' is the robots end-anchor → '$'
+    rx = F.regexp_replace(rx, r"\\\$$", r"\$")
+    rx = F.concat(F.lit("^"), rx)
+    return F.when(simple, path.startswith(pattern)).otherwise(
+        F.regexp_like(path, rx)
+    )
+
+
 def allowed_col(url_col: Column, rules_col: Column) -> Column:
-    """Longest-prefix-match allow/deny; NULL rules → allowed."""
+    """Most-specific-match allow/deny per RFC 9309: the longest matching
+    pattern (octet length, wildcards counted) decides; on an allow/deny tie
+    at the same length, ALLOW wins (§2.2.2).  NULL rules → allowed."""
     path = path_of(url_col)
-    matched = F.filter(rules_col, lambda r: path.startswith(r["pattern"]))
+    matched = F.filter(rules_col, lambda r: _rule_match(path, r["pattern"]))
     best = F.aggregate(
         matched,
         F.struct(
             F.lit(-1).alias("plen"), F.lit(True).alias("allow")
         ),
         lambda acc, r: F.when(
-            F.length(r["pattern"]) > acc["plen"],
+            (F.length(r["pattern"]) > acc["plen"])
+            | (
+                (F.length(r["pattern"]) == acc["plen"])
+                & r["allow"]
+                & ~acc["allow"]
+            ),
             F.struct(
                 F.length(r["pattern"]).alias("plen"), r["allow"].alias("allow")
             ),
@@ -95,10 +121,10 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
     kept) per RFC 9309 §2.2.1 — a host may split its directives across
     several ``User-agent: *`` groups and every Disallow still applies;
     no matching group → no rules.  An empty ``Disallow:`` value means
-    "allow everything" (contributes no rule).  Wildcard support is limited
-    to a trailing ``*`` (identical to the engine's prefix-match semantics
-    in :func:`allowed_col`); interior ``*``/``$`` patterns are dropped —
-    documented out of scope, matching the declarative rules-table contract.
+    "allow everything" (contributes no rule).  ``*``/``$`` wildcard
+    patterns are kept VERBATIM (r4): :func:`allowed_col` implements the
+    full RFC-9309 match (``*`` = any sequence, trailing ``$`` = end
+    anchor, longest-pattern-wins with allow breaking ties).
     """
     agent_l = agent.lower()
     groups: list[dict] = []  # {"agents": [..], "rules": [..], "delay": float|None}
@@ -131,11 +157,8 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
         if field in ("allow", "disallow"):
             if value == "":
                 continue  # empty Disallow/Allow = no rule
-            pattern = value[:-1] if value.endswith("*") else value
-            if "*" in pattern or "$" in pattern:
-                continue  # interior wildcards: out of scope
             cur["rules"].append(
-                {"pattern": pattern, "allow": field == "allow"}
+                {"pattern": value, "allow": field == "allow"}
             )
         elif field == "crawl-delay":
             try:

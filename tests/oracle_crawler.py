@@ -31,14 +31,30 @@ class OracleResult:
     rounds_run: int = 0
 
 
+def _pat_match(path: str, pat: str) -> bool:
+    """RFC-9309 pattern match (the engine's polite._rule_match twin):
+    '*' = any sequence, TRAILING '$' = end anchor, else literal prefix."""
+    if "*" not in pat and "$" not in pat:
+        return path.startswith(pat)
+    import re
+
+    anchored = pat.endswith("$")
+    core = pat[:-1] if anchored else pat
+    rx = ".*".join(re.escape(p) for p in core.split("*"))
+    return re.match("^" + rx + ("$" if anchored else ""), path) is not None
+
+
 def _match_rules(path: str, rules) -> bool:
-    """Longest-prefix robots match; no rules / no match → allowed."""
+    """Most-specific robots match per RFC 9309: longest pattern wins,
+    allow breaks same-length ties; no rules / no match → allowed."""
     if not rules:
         return True
     best_len, allow = -1, True
     for r in rules:
         pat = r["pattern"]
-        if path.startswith(pat) and len(pat) > best_len:
+        if _pat_match(path, pat) and (
+            len(pat) > best_len or (len(pat) == best_len and r["allow"] and not allow)
+        ):
             best_len, allow = len(pat), r["allow"]
     return allow
 

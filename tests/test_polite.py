@@ -62,11 +62,13 @@ def test_multi_agent_lines_share_one_group():
 
 def test_messy_input():
     p = polite.parse_robots_one(MESSY, agent="anything")
-    # empty Disallow contributes nothing; trailing-* stripped (prefix
-    # semantics); interior-wildcard pattern dropped; bad delay ignored
+    # empty Disallow contributes nothing; wildcard patterns kept VERBATIM
+    # since r4 (allowed_col implements the full RFC-9309 match); bad delay
+    # ignored
     assert p["rules"] == [
         {"pattern": "/x/", "allow": False},
-        {"pattern": "/x/ok", "allow": True},
+        {"pattern": "/x/ok*", "allow": True},
+        {"pattern": "/y/*.pdf", "allow": False},
     ]
     assert p["crawl_delay"] is None
 
@@ -236,3 +238,64 @@ def test_robots_raw_from_pages_latest_capture_wins(spark):
     assert [r.asDict() for r in got["h1.example"]["rules"]] == [
         {"pattern": "/new/", "allow": False}
     ]
+
+
+# ---------------------------------------------------------- RFC-9309 wildcards
+# Canonical matching examples from the REP spec (RFC 9309 §2.2.3 / the
+# google REP parser's documented table), checked against BOTH the engine's
+# JVM-side matcher (polite.allowed_col) and the python oracle twin
+# (oracle_crawler._match_rules) so the replay contract stays in lockstep.
+
+_WC_CASES = [
+    # (rules, path, expected_allowed)
+    ([("/fish*", False)], "/fish", False),
+    ([("/fish*", False)], "/fishheads/yummy.html", False),
+    ([("/fish*", False)], "/Fish.asp", True),            # case-sensitive
+    ([("/fish*", False)], "/catfish", True),             # prefix, not substring
+    ([("/*.php", False)], "/filename.php", False),
+    ([("/*.php", False)], "/folder/filename.php?params", False),
+    ([("/*.php", False)], "/", True),
+    ([("/*.php", False)], "/windows.PHP", True),
+    ([("/*.php$", False)], "/filename.php", False),
+    ([("/*.php$", False)], "/filename.php?params", True),  # anchored
+    ([("/*.php$", False)], "/filename.php/", True),
+    ([("/fish*.php", False)], "/fish.php", False),
+    ([("/fish*.php", False)], "/fishheads/catfish.php?params", False),
+    ([("/fish*.php", False)], "/Fish.PHP", True),
+    # allow/disallow same-length tie: allow wins (RFC 9309 §2.2.2)
+    ([("/page", True), ("/page", False)], "/page", True),
+    # longest match wins regardless of rule order
+    ([("/p", True), ("/page/x", False), ("/page", True)], "/page/x", False),
+    # interior '$' is a literal, not an anchor
+    ([("/a$b", False)], "/a$b/c", False),
+    ([("/a$b", False)], "/ab", True),
+]
+
+
+def test_wildcard_matching_engine_vs_oracle(spark):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    from oracle_crawler import _match_rules
+
+    rows = []
+    for i, (rules, path, want) in enumerate(_WC_CASES):
+        rows.append((i, f"https://h.example{path}",
+                     [{"pattern": p, "allow": a} for p, a in rules], want))
+    df = spark.createDataFrame(
+        rows,
+        "i long, url string, rules array<struct<pattern:string,allow:boolean>>, want boolean",
+    )
+    got = {r["i"]: r["ok"] for r in df.select(
+        "i", polite.allowed_col(F.col("url"), F.col("rules")).alias("ok")
+    ).collect()}
+    for i, (rules, path, want) in enumerate(_WC_CASES):
+        assert got[i] == want, f"engine case {i}: rules={rules} path={path}"
+        oracle = _match_rules(path, [{"pattern": p, "allow": a} for p, a in rules])
+        assert oracle == want, f"oracle case {i}: rules={rules} path={path}"
+
+
+def test_parser_keeps_wildcard_rules():
+    body = "User-agent: *\nDisallow: /*.php$\nAllow: /fish*\n"
+    got = polite.parse_robots_one(body)
+    assert {r["pattern"] for r in got["rules"]} == {"/*.php$", "/fish*"}
