@@ -4,10 +4,13 @@ The reference hardcodes NCBI's rate policy as a ``time.sleep`` between
 requests; generalized per BASELINE.json to per-host robots.txt allow/deny
 rules and crawl-delay token budgets.
 
-Rule semantics (classic robots.txt): a rule is a path-prefix pattern with an
-allow/deny flag; the LONGEST matching pattern wins; no match → allowed.
-Matching is pure built-in higher-order functions (``filter``/``aggregate``
-over the rules array) — stays in whole-stage codegen, no Python.
+Rule semantics (RFC 9309): a rule is a path pattern (``*`` = any character
+sequence, trailing ``$`` = end anchor, else literal prefix) with an
+allow/deny flag; the most specific (longest) matching pattern wins, ALLOW
+breaking same-length ties (§2.2.2); no match → allowed.  Matching is pure
+built-in string/higher-order functions (``filter``/``aggregate`` over the
+rules array, ``locate`` over wildcard segments) — stays in whole-stage
+codegen, no Python, no per-row regex compilation.
 """
 
 from __future__ import annotations
@@ -35,21 +38,66 @@ def path_of(url_col: Column) -> Column:
 
 
 def _rule_match(path: Column, pattern: Column) -> Column:
-    """RFC-9309 path-pattern match, all JVM-side string expressions:
-    ``*`` matches any character sequence, a TRAILING ``$`` anchors the end
-    (an interior ``$`` is a literal, per the REP grammar), everything else
-    is a literal prefix.  Patterns with neither metachar take the plain
-    ``startswith`` fast path (the common case; identical semantics)."""
+    """RFC-9309 path-pattern match in pure string expressions — no regex,
+    stays in whole-stage codegen: ``*`` matches any character sequence, a
+    TRAILING ``$`` anchors the end (an interior ``$`` is a literal, per the
+    REP grammar), everything else is a literal prefix.
+
+    Wildcard patterns match by greedy leftmost segment search
+    (``aggregate`` over the ``*``-split segments with ``locate``) — the
+    standard correct algorithm for ``L0*L1*…*Lk`` containment (the earliest
+    occurrence always leaves maximal room for later segments).  Chosen over
+    ``regexp_like`` with a built pattern because a non-foldable regex
+    recompiles PER ROW — a per-(url, rule) compile at 10^10-URL scale.
+    Patterns with neither metachar take the plain ``startswith`` fast path
+    (the common case; identical semantics)."""
     simple = (~pattern.contains("*")) & (~pattern.contains("$"))
-    # 1. escape every Java-regex metachar in the raw pattern
-    esc = F.regexp_replace(pattern, r"([\\\[\](){}.+\-^?|$*])", r"\\$1")
-    # 2. the escaped '\*' is the robots wildcard → '.*'
-    rx = F.regexp_replace(esc, r"\\\*", ".*")
-    # 3. a TRAILING escaped '\$' is the robots end-anchor → '$'
-    rx = F.regexp_replace(rx, r"\\\$$", r"\$")
-    rx = F.concat(F.lit("^"), rx)
-    return F.when(simple, path.startswith(pattern)).otherwise(
-        F.regexp_like(path, rx)
+    anchored = pattern.endswith("$")
+    core = F.when(
+        anchored, F.substring(pattern, F.lit(1), F.length(pattern) - F.lit(1))
+    ).otherwise(pattern)
+    segs = F.split(core, r"\*", -1)
+    n = F.size(segs)
+    first = F.element_at(segs, 1)
+    last = F.element_at(segs, -1)
+    # Segments consumed greedily after the literal-prefix first one: all of
+    # them when unanchored; all but the last when anchored (the last must
+    # sit at the very end).  Empty segments add no constraint and confuse
+    # ``locate`` — filtered ('a**b' ≡ 'a*b', trailing '*' ≡ nothing).
+    mids = F.filter(
+        F.when(
+            anchored, F.slice(segs, 2, F.greatest(n - F.lit(2), F.lit(0)))
+        ).otherwise(F.slice(segs, 2, F.greatest(n - F.lit(1), F.lit(0)))),
+        lambda s: s != "",
+    )
+    st = F.aggregate(
+        mids,
+        F.struct(
+            (F.length(first) + F.lit(1)).alias("pos"),
+            path.startswith(first).alias("ok"),
+        ),
+        lambda acc, s: F.struct(
+            (
+                F.call_function("locate", s, path, acc["pos"]) + F.length(s)
+            ).alias("pos"),
+            (
+                acc["ok"]
+                & (F.call_function("locate", s, path, acc["pos"]) > 0)
+            ).alias("ok"),
+        ),
+    )
+    # Anchored: the last segment must occupy the very end, starting at or
+    # after everything already consumed (no overlap with prefix/mids).
+    glob_ok = F.when(
+        anchored,
+        st["ok"]
+        & path.endswith(last)
+        & (F.length(path) - F.length(last) + F.lit(1) >= st["pos"]),
+    ).otherwise(st["ok"])
+    return (
+        F.when(simple, path.startswith(pattern))
+        .when(anchored & ~core.contains("*"), path == core)  # exact match
+        .otherwise(glob_ok)
     )
 
 

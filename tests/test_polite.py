@@ -269,6 +269,33 @@ _WC_CASES = [
     # interior '$' is a literal, not an anchor
     ([("/a$b", False)], "/a$b/c", False),
     ([("/a$b", False)], "/ab", True),
+    # glob-matcher edges: bare '*' matches everything
+    ([("*", False)], "/anything", False),
+    # bare '$' = exact-empty-path anchor; paths are never empty
+    ([("$", False)], "/", True),
+    # '**' collapses to '*'
+    ([("/a**b", False)], "/aXYb", False),
+    ([("/a**b", False)], "/ab", False),
+    # trailing '*$' ≡ trailing '*' ≡ plain prefix
+    ([("/fish*$", False)], "/fishheads", False),
+    ([("/fish*$", False)], "/fis", True),
+    # anchored single segment = exact match
+    ([("/exact$", False)], "/exact", False),
+    ([("/exact$", False)], "/exactly", True),
+    ([("/exact$", False)], "/exac", True),
+    # anchored two-segment where prefix and suffix touch
+    ([("/a*b$", False)], "/ab", False),
+    ([("/a*b$", False)], "/aXb", False),
+    ([("/a*b$", False)], "/aXbY", True),
+    # greedy mid-consumption must not steal the anchored tail
+    ([("/a*b*c$", False)], "/a-b-c-bc", False),
+    ([("/a*b$", False)], "/abXb", False),  # end 'b' found past greedy 'b'
+    # leading '*' = contains
+    ([("*private*", False)], "/x/private/y", False),
+    ([("*private*", False)], "/x/pub/y", True),
+    # interior '$' combined with wildcard stays literal
+    ([("/a$*x", False)], "/a$--x", False),
+    ([("/a$*x", False)], "/a--x", True),
 ]
 
 
