@@ -271,3 +271,252 @@ def test_anchors_udf_spark(spark):
     assert [(r["url"], r["anchor"]) for r in rows] == [
         ("https://h.example/p", "The Anchor")
     ]
+
+
+# ------------------------------------------------- fast-scanner differential
+
+def _slow_collect(s: str, respect: bool = False):
+    p = extract._TextAndLinks(respect_robots_directives=respect)
+    p.feed(s)
+    p.close()
+    return p.tokens, p.links, p.meta_nofollow, p.meta_noindex
+
+
+def _assert_fast_matches_slow(s: str):
+    """Whenever the fast scanner accepts an input, its 4-tuple must be
+    field-identical to HTMLParser's collector — for both respect modes."""
+    for respect in (False, True):
+        fast = extract._fast_scan(s, respect)
+        if fast is None:
+            continue
+        slow = _slow_collect(s, respect)
+        assert fast[0] == slow[0], (respect, s)
+        assert fast[1] == slow[1], (respect, s)
+        assert fast[2:] == slow[2:], (respect, s)
+
+
+DIRECTED_HTML = [
+    # plain shapes
+    "",
+    "just text no tags",
+    "<html><head><title>T t</title></head><body><p>a b</p></body></html>",
+    # no <body>: tokens_all fallback path
+    "<p>alpha</p><title>beta</title>gamma",
+    # entities inside and outside title/body, incl. double-escape
+    "<body>&amp;amp; &lt;b&gt; &#65;&#x42; &nbsp;x</body>",
+    "<title>A &amp; B</title><body>c&copy;d</body>",
+    "text &amp fin",  # unterminated entity (unescape still handles)
+    # comments, incl. lazy close `--  >` and comment-hidden tags
+    "<body>a<!-- hidden <a href='/x'>no</a> -->b</body>",
+    "<body>a<!-- c --  >b</body>",
+    "<body>a<!---->b</body>",
+    # doctype / PI / bogus comment
+    "<!DOCTYPE html><body>x</body>",
+    "<!doctype html public 'x'><body>y</body>",
+    "<?php echo 1; ?><body>z</body>",
+    "<!whatever junk><body>w</body>",
+    "<!><body>v</body>",
+    # script/style cdata with case variants and tag-soup inside
+    "<body>a<script>var x = '<a href=/no>'; if (1<2) {}</script>b</body>",
+    "<body>a<SCRIPT>x</SCRIPT>b</body>",
+    "<body>a<script>x</script\t>b</body>",
+    "<body>a<style>p > a { color: red }</style>b</body>",
+    "<body>a<script/>inline</script>b</body>",  # startendtag: no cdata mode
+    # start-tag attr shapes
+    '<body><a href="/q1">q</a></body>',
+    "<body><a href='/q2'>q</a></body>",
+    "<body><a href=/q3>q</a></body>",
+    "<body><a href = '/q4' >q</a></body>",
+    '<body><a href="">empty</a><a href>none</a><a>bare</a></body>',
+    '<body><a href="/d" href="/d2">dup</a></body>',
+    '<body><a href="/amp?a=1&amp;b=2">e</a></body>',
+    '<body><a href="x>y">gt-in-value</a></body>',
+    "<body><a href=x/>slash-in-bare</body>",
+    "<body><br/><hr />text</body>",
+    '<body><A HREF="/UP">case</A></body>',
+    "<body><a data-x=1 href=/mix rel=tag>m</a></body>",
+    # end-tag shapes
+    "<body>a</body >trail",
+    "<body><title>t</title >u</body>",
+    # rel=nofollow and meta robots (respect semantics)
+    '<body><a rel="nofollow" href="/s">s</a><a href="/k">k</a></body>',
+    '<body><a rel="external NoFollow" href="/s2">s</a></body>',
+    '<head><meta name="robots" content="noindex, nofollow"></head><body><a href="/x">x</a></body>',
+    '<head><meta name="ROBOTS" content="NONE"/></head><body><a href="/y">y</a></body>',
+    '<head><meta name="robots" content=" nofollow "></head><body>t</body>',
+    '<body><a href="/pre">p</a><meta name=robots content=nofollow></body>',  # late meta wins
+    # self-closing structure tags
+    "<title/>after<body/>more",
+    "<body>x</body><body>y</body>",
+    # nested skip + stray closers
+    "<body><script>a</script></script>x</body>",
+    "<body></style>only-stray</body>",
+    # unclosed ELEMENT (all tag tokens complete) is fine on the fast path
+    "<body><a href='/u'>unclosed tag",
+    # '<' is a legal attr-name char in BOTH the strict and tolerant regexes
+    "<body><a href='/u' <bad>></a></body>",
+]
+
+FALLBACK_HTML = [
+    "<body>1 < 2 bare lt</body>",
+    "<body><![CDATA[raw]]>x</body>",
+    "<body><!-- never closed",
+    "<body></ spaced>x</body>",
+    "<body></a attr=1>x</body>",
+    "<body><a href=a=b>x</a></body>",
+    "<body><script>never closed</body>",
+    "<body><script>x</script junk>y</script>z</body>",
+    "<body><script>x</scripty>z</script>w</body>",
+    "<é>non-ascii tag</é>",
+    "<body>trailing lt <",
+]
+
+
+@pytest.mark.parametrize("s", DIRECTED_HTML)
+def test_fast_scan_matches_htmlparser_directed(s):
+    assert extract._fast_scan(s) is not None, f"expected fast path: {s!r}"
+    _assert_fast_matches_slow(s)
+
+
+@pytest.mark.parametrize("s", FALLBACK_HTML)
+def test_fast_scan_falls_back_on_hard_constructs(s):
+    # these inputs exercise HTMLParser's tolerant paths the fast scanner
+    # must refuse; the public extractors then take the slow path, so the
+    # end-to-end result is still HTMLParser-defined
+    assert extract._fast_scan(s) is None, f"expected fallback: {s!r}"
+
+
+def test_fast_scan_covers_generator_corpus():
+    """Every generated page must BOTH take the fast path (else the crawl
+    bench silently loses the speedup) and match the slow collector."""
+    import gen_pages as gp
+
+    n = 300
+    fallbacks = 0
+    for i in range(n):
+        for c in range(gp.n_captures(i)):
+            s = extract.decode_bytes(gp.html_of(i, c, n))
+            if extract._fast_scan(s) is None:
+                fallbacks += 1
+            else:
+                _assert_fast_matches_slow(s)
+    assert fallbacks == 0
+
+
+def test_fast_scan_fuzz_differential():
+    """Random tag-soup: fast result, when accepted, must equal HTMLParser;
+    public extract_* functions must be stable regardless of path taken."""
+    from hypothesis import given, settings, strategies as st
+
+    frag = st.sampled_from(
+        [
+            "<body>", "</body>", "<title>", "</title>", "<p>", "</p>",
+            "<a href='/r'>", '<a href="/q">', "<a href=/b>", "</a>",
+            "<a rel=nofollow href=/n>", "<script>", "</script>",
+            "<style>", "</style>", "<script/>", "<br/>", "<br />",
+            "<!-- c -->", "<!-- x --  >", "<!DOCTYPE html>", "<?pi?>",
+            "<![CDATA[z]]>", "<meta name=robots content=nofollow>",
+            '<meta name="robots" content="noindex">', "<!bogus>",
+            "text", "a b", "&amp;", "&lt;", "&#65;", "&nbsp;", "&amp",
+            "<", ">", "&", " ", "\n", "é", "x<y", "</b >", "</ b>",
+        ]
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=12))
+    def run(parts):
+        s = "".join(parts)
+        _assert_fast_matches_slow(s)
+
+    run()
+
+
+# ------------------------------------------------ fast urljoin differential
+
+JOIN_BASES = [
+    "https://host0.example/p/17",
+    "https://host.example/",
+    "http://h.example/a/b/c.html",
+    "https://h.example/p/1?q=2#f",     # query/frag on base -> ok_base False
+    "https://h.example/p//q/1",        # middle empty segment in base path
+    "https://h.example/p/./1",         # dot segment in base path
+    "https://h.example",               # empty base path
+    "https://h.example/a;p/x",         # params in base path
+    "ftp://h.example/a/b",             # non-http scheme
+    "",
+]
+
+JOIN_HREFS = [
+    "", "/", "/x", "/x/y.html", "/x?q=1", "/x?", "/x#", "/x#f", "/x;p",
+    "//other.example/y", "/a/../b", "/./x", "/.well-known/x", "/a//b",
+    "sub/page", "sub//page", "a/b/", "page.html", ".", "..", "../up",
+    "./same", "x:y", "mailto:a@b", "javascript:void(0)",
+    "https://abs.example/x", "https://abs.example/x?q=1", "https://abs.example",
+    "https:///nonetloc", "HTTPS://UP.example/x", "http://cross.example/y",
+    "http://cross.example/y?#", " /lead", "\tx", "a\tb", "a b", "x<y",
+    "%70/enc", "é/unicode", "p?", "p#", "p?q", "p#f", "?q=1", "#frag",
+    "a\\b", "a@b", "a&b=c", "...", "..../x", "x/..", "x/.",
+]
+
+
+def test_make_joiner_matches_urljoin_directed():
+    from urllib.parse import urljoin
+
+    for base in JOIN_BASES:
+        join = extract._make_joiner(base)
+        for h in JOIN_HREFS:
+            assert join(h) == urljoin(base, h), (base, h)
+
+
+def test_make_joiner_fuzz():
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings, strategies as st
+
+    piece = st.sampled_from(
+        ["a", "b2", "/", "//", ".", "..", "?", "#", ";", ":", "&", "=",
+         "%41", "~", "-", "_", " ", "\t", "é", "@", "https://", "http://",
+         "x.y", "+", "\\"]
+    )
+    href = st.lists(piece, min_size=0, max_size=8).map("".join)
+    base = st.sampled_from(JOIN_BASES)
+
+    @settings(max_examples=500, deadline=None)
+    @given(base, href)
+    def run(b, h):
+        join = extract._make_joiner(b)
+        try:
+            want = urljoin(b, h)
+        except ValueError:
+            return  # joiner's fallback raises identically; out of contract
+        assert join(h) == want, (b, h)
+
+    run()
+
+
+def test_generator_corpus_join_fast_share(monkeypatch):
+    """Generated-page links must resolve on the joiner's concat paths (the
+    bench speedup) AND equal real urljoin; patching the module-level
+    urljoin counts fallbacks so a gate regression is visible."""
+    import gen_pages as gp
+    from urllib.parse import urljoin
+
+    calls = []
+    monkeypatch.setattr(
+        extract, "urljoin", lambda b, h: calls.append(h) or urljoin(b, h)
+    )
+    n = 200
+    total = 0
+    for i in range(n):
+        base = gp.url_of(i)
+        join = extract._make_joiner(base)
+        for h in gp.outlinks_of(i, n):
+            total += 1
+            assert join(h) == urljoin(base, h)
+    # the generator's MESSY variants ("/a/../p/N#frag", "#frag") are meant
+    # to fall back (dot segments / fragments); clean links must not
+    assert len(calls) / total < 0.25, f"{len(calls)}/{total} fell back"
+    assert all(
+        "#" in h or "/." in h or "?" in h or h.startswith("HTTPS://")
+        for h in calls
+    ), calls[:5]
