@@ -912,21 +912,39 @@ _DUP_BANNER = (
               FROM dup),
         g2 AS (SELECT doc_id, s, e,
                       sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS grp
-               FROM m)
-        SELECT doc_id, min(s)::INT AS start_word, max(e)::INT AS end_word
-        FROM g2 GROUP BY doc_id, grp""",
+               FROM m),
+        spans AS (
+          SELECT doc_id, min(s)::INT AS start_word, max(e)::INT AS end_word
+          FROM g2 GROUP BY doc_id, grp),
+        rebuilt AS (
+          SELECT w.doc_id,
+                 coalesce(string_agg(w.w[t.i], ' ' ORDER BY t.i), '')
+                   AS stripped_text
+          FROM words w, UNNEST(range(1, len(w.w) + 1)) AS t(i)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = w.doc_id
+              AND t.i - 1 >= s.start_word AND t.i - 1 < s.end_word)
+          GROUP BY w.doc_id)
+        SELECT sp.doc_id, sp.start_word, sp.end_word,
+               coalesce(r.stripped_text, '') AS stripped_text
+        FROM spans sp LEFT JOIN rebuilt r USING (doc_id)""",
 )
 def dup_ngram_spans(spark, sf):
-    """Exact-substring dedup, span detection (Lee et al.): maximal word
-    spans covered by 8-grams occurring in ≥ 2 distinct documents, over a
-    corpus seeded with a verbatim syndication banner on every 7th doc.
+    """Exact-substring dedup, detection AND removal (Lee et al.): maximal
+    word spans covered by 8-grams occurring in ≥ 2 distinct documents, over
+    a corpus seeded with a verbatim syndication banner on every 7th doc —
+    plus each spanned doc's REBUILT text after strip_duplicate_spans.
     Oracle: the same positioned k-gram → cross-doc frequency → interval
-    merge in pure SQL with STRING grams — the engine's xxhash64 gram
-    hashing, skew-safe pair-spread count-distinct, and window interval
-    merge must reproduce every (doc_id, start_word, end_word) row,
-    including natural verbatim overlaps between the fixture's
-    near-duplicate docs (registered r4, verdict item 5; textops.py
-    duplicate_ngram_spans)."""
+    merge in pure SQL with STRING grams, then the stripped text rebuilt by
+    keeping exactly the word positions outside every span — the engine's
+    xxhash64 gram hashing, skew-safe pair-spread count-distinct, window
+    interval merge, AND the row-side higher-order strip/rebuild must
+    reproduce every (doc_id, start_word, end_word, stripped_text) row,
+    including natural verbatim overlaps between the fixture's near-duplicate
+    docs and fully-covered docs that survive with stripped_text='' (spans
+    registered r4 verdict item 5, strip added per the r4 agenda; textops.py
+    duplicate_ngram_spans + strip_duplicate_spans)."""
     from crawlspark import textops
 
     d = _t(spark, sf, "documents").select(
@@ -938,7 +956,11 @@ def dup_ngram_spans(spark, sf):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return textops.duplicate_ngram_spans(d, k=8, min_docs=2)
+    spans = textops.duplicate_ngram_spans(d, k=8, min_docs=2)
+    stripped = textops.strip_duplicate_spans(d, spans).select(
+        "doc_id", F.col("text").alias("stripped_text")
+    )
+    return spans.join(stripped, "doc_id")
 
 
 @_q(
