@@ -4,13 +4,17 @@ Generalizes the reference's synchronous fetch-and-parse loop (search → fetch
 ids → parse → enqueue unseen refs → sleep → repeat) into batch rounds over
 DataFrames, one durable snapshot per round:
 
-    frontier ─(bloom probe → exact anti-join seen)→ unseen
+    frontier ─(⊥ seen by loop invariant; standalone callers get the
+               bloom probe → exact anti-join entry check)→ candidates
             ─(robots broadcast join; drop disallowed)→ allowed
             ─(salted applyInPandas schedule; budget, sched_ts)→ scheduled
             ─(total-order sort → fetch_log)→ exact fetch order
             ─(as-of join pages; left-outer for misses)→ fetched
             ─(pandas-UDF extract: text, links)→ parsed
-    frontier' = (frontier − tried) ∪ dedup(new links not seen)
+    frontier' = dedup((frontier − tried) ∪ (links − tried − seen))
+                 — the links-vs-seen anti-join is the round's ONLY
+                 full-seen shuffle, bloom/cuckoo-probe-shrunk to the
+                 maybe-seen sliver when a sidecar exists
     seen'     = seen ∪ tried            (tried = scheduled ∪ disallowed)
     commit snapshot(frontier', seen', bloom(seen'), fetch_log, metrics)
 
@@ -133,18 +137,33 @@ def run_round(
     url_filter: bool = False,
     blocklist: DataFrame | None = None,
     reputation: DataFrame | None = None,
+    frontier_unseen: bool = False,
 ) -> dict:
-    """One crawl round; returns the new state plus round outputs."""
+    """One crawl round; returns the new state plus round outputs.
+
+    ``frontier_unseen=True`` is the caller's guarantee that ``frontier`` is
+    already disjoint from ``seen``.  The crawl loop maintains this as an
+    invariant (every committed frontier' is anti-joined against seen' at
+    construction, for fresh AND resumed crawls), so in loop mode the
+    round-entry seen-check — a full shuffle of the frontier against the
+    10^10-row seen table — is a set-level no-op and is skipped; the
+    bloom/cuckoo probe + exact anti-join move to the only rows that
+    genuinely need them, this round's freshly-discovered links (below).
+    Standalone callers with an arbitrary (frontier, seen) pair keep the
+    default ``False`` and the full entry check.
+    """
     m: list[DataFrame] = []
     if pages_latest_keys is None:
         pages_latest_keys = fetch.latest_keys(pages)
 
+    if frontier_unseen:
+        candidates = frontier
     # Bloom pre-filter: rows the bloom says are definitely-unseen skip the
     # exact anti-join entirely; only the maybe-seen sliver (true hits + ~1%
     # false positives) pays the shuffle against the 10^10-row seen table.
     # A false positive is therefore re-checked, never dropped (no-false-
     # negative invariant makes the fast path exact).
-    if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
+    elif bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
         probed = _filter_mod(cfg.filter_kind).probe(
             frontier, bloom_sidecar, keep_maybe_seen=True
         )
@@ -229,9 +248,38 @@ def run_round(
     # anti-join on the materialized delta (same url_hash set as `tried`)
     # instead of `tried` itself — avoids recomputing the candidate branch
     leftover = frontier.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
-    new_frontier = dedup.within(
-        leftover.unionByName(discovered), stable=True
-    ).join(new_seen.select("url_hash"), "url_hash", "left_anti")
+    if frontier_unseen:
+        # Loop invariant: frontier ⊥ seen at entry ⟹ leftover ⊥ seen'
+        # (frontier minus this round's delta).  Only the freshly-discovered
+        # links need the seen check: first against the delta (this round's
+        # batch, small side), then against the accumulated seen — with the
+        # bloom/cuckoo probe shrinking that exact anti-join to the
+        # maybe-seen sliver when a sidecar exists (the sidecar was built at
+        # LAST round's commit, i.e. it encodes exactly `seen`, the
+        # pre-delta set, so probing it against post-delta-filtered rows is
+        # sound).  Equivalent set to the flag=False trailing anti-join —
+        # discovered ∖ new_seen = (discovered ∖ delta) ∖ seen — and the
+        # stable within() sees the same candidate rows per surviving url,
+        # so the kept representative (hence replay order) is identical.
+        fresh = discovered.join(
+            seen_delta.select("url_hash"), "url_hash", "left_anti"
+        )
+        if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
+            probed = _filter_mod(cfg.filter_kind).probe(
+                fresh, bloom_sidecar, keep_maybe_seen=True
+            )
+            sure = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            sliver = dedup.unseen(
+                probed.filter(F.col("maybe_seen")).drop("maybe_seen"), seen
+            )
+            fresh = sure.unionByName(sliver)
+        else:
+            fresh = dedup.unseen(fresh, seen)
+        new_frontier = dedup.within(leftover.unionByName(fresh), stable=True)
+    else:
+        new_frontier = dedup.within(
+            leftover.unionByName(discovered), stable=True
+        ).join(new_seen.select("url_hash"), "url_hash", "left_anti")
     if cfg.max_frontier_per_host is not None:
         new_frontier = sched.cap_frontier(
             new_frontier, cfg.max_frontier_per_host, salt=cfg.salt
@@ -326,6 +374,12 @@ def crawl(
             url_filter=url_filter,
             blocklist=blocklist,
             reputation=reputation,
+            # loop invariant: every frontier entering a round — the seeds
+            # frontier over an empty seen, a committed-then-resumed pair,
+            # or last round's frontier' — is already ⊥ seen, so the round
+            # skips the entry-side full-frontier anti-join and moves the
+            # (bloom-accelerated) seen check to the discovered links
+            frontier_unseen=True,
         )
         # seen' was materialized inside run_round (overlapped with parse);
         # frontier' is the only frame left to pin for the next round

@@ -391,3 +391,49 @@ def test_invalidate_recrawl_cuckoo_deletes_in_place(spark, fixtures, tmp_path):
     other = spark.createDataFrame([(fetched[-1],)], "url string")
     other_frontier = crawl.seeds_to_frontier(other, cfg_ck.n_buckets)
     assert dedup.unseen(other_frontier, seen2).count() == 0
+
+
+def test_frontier_unseen_flag_equivalence(spark, fixtures, tmp_path):
+    """run_round(frontier_unseen=True) — the loop's invariant-backed fast
+    path (no entry anti-join; seen check moved to discovered links, probe-
+    shrunk when a sidecar exists) — must produce exactly the same round as
+    the default full-check path, given a frontier that IS disjoint from
+    seen.  Checked on a mid-crawl state (round-1 inputs built by a default
+    round 0), with and without a bloom sidecar."""
+    from crawlspark import bloom, state
+
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    fr0 = crawl._materialize(
+        crawl.seeds_to_frontier(seeds_df, CFG.n_buckets), CFG.persist_mode
+    )
+    seen0 = spark.createDataFrame([], "url_hash long, bucket int")
+    r0 = crawl.run_round(
+        spark, fr0, seen0, pages_df, robots_df, 0, CFG, None, "eqv",
+        collect_metrics=False,
+    )
+    fr1 = crawl._materialize(r0["frontier"], CFG.persist_mode)
+    seen1 = crawl._materialize(r0["seen"], CFG.persist_mode)
+
+    # a real sidecar for the fast path's probe branch (encodes seen1,
+    # exactly what the loop would have committed after round 0)
+    sidecar = str(tmp_path / "bloom_eqv")
+    bloom.write_sidecar(bloom.build(seen1), sidecar)
+
+    def round1(flag: bool, sc: str | None):
+        out = crawl.run_round(
+            spark, fr1, seen1, pages_df, robots_df, 1, CFG, sc, "eqv",
+            collect_metrics=False, frontier_unseen=flag,
+        )
+        sched_set = sorted(
+            (r["sched_ts"], r["host"], r["url"])
+            for r in out["fetch_log"].collect()
+        )
+        frontier_set = sorted(r["url"] for r in out["frontier"].collect())
+        seen_set = sorted(r["url_hash"] for r in out["seen"].collect())
+        return sched_set, frontier_set, seen_set
+
+    base = round1(False, None)
+    assert round1(True, None) == base, "fast path (no sidecar) diverged"
+    assert round1(True, sidecar) == base, "fast path (bloom probe) diverged"
+    assert round1(False, sidecar) == base, "entry probe path diverged"
+    assert len(base[0]) > 0 and len(base[1]) > 0
