@@ -611,6 +611,103 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- perceptual hashing
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def image_dhash(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a decoded image.
+
+    The classic image near-dup fingerprint: integer-luma grayscale → 9×8
+    nearest-neighbor thumbnail → one bit per horizontally adjacent cell
+    pair (left < right).  All-integer ops, so the hash is bit-identical
+    across platforms, and by construction invariant to uniform brightness
+    shifts (no clipping) and to exact pixel-doubling — while re-encoding
+    and mild noise move it only a few bits.  Returned as a signed int64
+    (Spark ``LongType``).
+    """
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            p = a[..., :3].astype(np.int64)
+            g = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+        else:
+            g = a[..., 0].astype(np.int64)
+    else:
+        g = a.astype(np.int64)
+    th = resize_nearest(g, 8, 9)
+    bits = (th[:, :-1] < th[:, 1:]).astype(np.uint64).ravel()
+    h = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, dhash) per row via mapInPandas — payloads stay executor-
+    side in Arrow batches, the driver only ever sees 8-byte hashes.
+
+    Decodable PNG payloads get a real dHash; non-PNG / undecodable rows
+    yield null (strict mode raises instead — same contract as
+    :func:`decode_features`).
+    """
+
+    def _batches(it):
+        for pdf in it:
+            out: list[int | None] = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                raw = bytes(p)
+                if not raw.startswith(_PNG_SIG):
+                    if strict:
+                        raise NotImplementedError(
+                            "no image codec for this payload format in this "
+                            "environment; install PIL/ffmpeg and extend "
+                            "multimodal.image_dhashes"
+                        )
+                    out.append(None)
+                    continue
+                try:
+                    out.append(image_dhash(decode_png(raw)))
+                except Exception:
+                    # untrusted crawled bytes: one corrupt payload must not
+                    # kill the stage in the pipeline path
+                    if strict:
+                        raise
+                    out.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_batches, DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Image near-dup pairs: dHash + the same pigeonhole-blocked hamming
+    self-join as SimHash text near-dup (textops.hamming_neardup_pairs) —
+    equi-join on bit-slices, never a cross product, exact within the
+    radius.  Rows that didn't decode (null dhash) drop out of pairing.
+    """
+    from crawlspark.textops import hamming_neardup_pairs
+
+    hashes = image_dhashes(media).filter(F.col("dhash").isNotNull())
+    return hamming_neardup_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
+
+
 def _seed_bytes(tag: str, n: int) -> np.ndarray:
     """n deterministic bytes from repeated sha256 of tag."""
     out = b""

@@ -254,35 +254,56 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return _simhash_batch(texts)
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+    """Pairs of rows whose 64-bit hashes differ in ≤ ``max_hamming`` bits.
 
-    Scale path: block on 4 16-bit chunks (pigeonhole: ≤3 differing bits ⇒
-    at least one identical chunk), so the self-join is equi on (chunk_idx,
-    chunk_value), never a cross product.
+    The generic scale path behind SimHash text near-dup AND image dHash
+    near-dup: block on ``n_chunks`` equal bit-slices (pigeonhole: ≤
+    ``max_hamming`` < ``n_chunks`` differing bits ⇒ at least one identical
+    slice), so the self-join is equi on (chunk_idx, chunk_val), never a
+    cross product — exact by construction, no recall loss.  ``n_chunks``
+    defaults to the smallest power of two that makes the pigeonhole hold
+    for the requested radius (more slices = more candidate rows = larger
+    exact radius); pass it explicitly only to over-block on purpose.
     """
-    sh = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
-    )
-    chunks = sh.select(
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31]; got {max_hamming}")
+    if n_chunks is None:
+        n_chunks = 2
+        while n_chunks <= max_hamming:
+            n_chunks *= 2
+    if not max_hamming < n_chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < n_chunks; got {max_hamming} >= {n_chunks}"
+        )
+    if n_chunks not in (2, 4, 8, 16, 32):
+        raise ValueError(f"n_chunks must be a power of two in [2, 32]; got {n_chunks}")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    src = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    chunks = src.select(
         id_col,
-        "simhash",
+        "_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_h"), c * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk_val")
+    ).select(id_col, "_h", "ch.chunk_idx", "ch.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(
@@ -294,15 +315,33 @@ def simhash_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._h").alias("h_a"),
+            F.col("b._h").alias("h_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Blocking/verify both live in :func:`hamming_neardup_pairs`, which
+    sizes the bit-slice count to the radius so the pigeonhole guarantee
+    (exact recall) holds for ANY max_hamming ≤ 31 — the old fixed-4-slice
+    blocking silently under-recalled past 3 bits.
+    """
+    sh = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+    return hamming_neardup_pairs(
+        sh, id_col=id_col, hash_col="simhash", max_hamming=max_hamming
+    )
 
 
 # -------------------------------------------------------------- n-gram jaccard

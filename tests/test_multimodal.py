@@ -269,3 +269,72 @@ def test_y4m_colorspaces():
         body = b"".join(b"FRAME\n" + y[i * 16 : (i + 1) * 16] + b"\x80" * chroma_per_frame for i in range(2))
         (_, _), back = multimodal.decode_y4m(head + body)
         assert back.shape == (2, 4, 4) and (back == 42).all()
+
+
+def test_image_dhash_invariances():
+    import numpy as np
+
+    base = (
+        multimodal._seed_bytes("dhash0", 32 * 32 * 3).reshape(32, 32, 3) % 128
+    ) + 40  # range [40, 167]: headroom so shifts below never clip
+    h = multimodal.image_dhash(base)
+    assert h == multimodal.image_dhash(base)
+    assert -(2 ** 63) <= h < 2 ** 63
+    # uniform brightness shift keeps every adjacent-luma comparison: exact
+    assert multimodal.image_dhash(base + 5) == h
+    # exact pixel doubling samples the same thumbnail cells: exact
+    doubled = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert multimodal.image_dhash(doubled) == h
+    # grayscale 2-D input accepted
+    gray = (multimodal._seed_bytes("dhashg", 16 * 16).reshape(16, 16) % 128) + 40
+    assert isinstance(multimodal.image_dhash(gray), int)
+    # different content is far away
+    other = (
+        multimodal._seed_bytes("dhash1", 32 * 32 * 3).reshape(32, 32, 3) % 128
+    ) + 40
+    d = bin(
+        (multimodal.image_dhash(other) ^ h) & (2 ** 64 - 1)
+    ).count("1")
+    assert d > 10, f"distinct images should be many bits apart, got {d}"
+
+
+def test_image_neardup_pairs_planted(spark):
+    """Planted brightness-shifted PNG twins pair up at hamming 0; distinct
+    images don't pair; non-PNG and corrupt payloads drop out as nulls."""
+    import numpy as np
+
+    rows = []
+    for i in range(6):
+        img = (
+            multimodal._seed_bytes(f"nd{i}", 24 * 24 * 3).reshape(24, 24, 3) % 128
+        ) + 40
+        rows.append((i, None, "image", multimodal.encode_png(img), "png", None, 24, 24, None))
+        rows.append(
+            (
+                100 + i,
+                None,
+                "image",
+                multimodal.encode_png((img + 4).astype(np.uint8)),
+                "png",
+                None,
+                24,
+                24,
+                None,
+            )
+        )
+    rows.append((900, None, "audio", multimodal.encode_wav(np.zeros(160, dtype=np.int16)), "wav", None, None, None, 10))
+    rows.append((901, None, "image", multimodal._PNG_SIG + b"\x00garbage", "png", None, 2, 2, None))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r["dhash"] for r in multimodal.image_dhashes(media).collect()}
+    assert hashes[900] is None and hashes[901] is None  # non-PNG + corrupt → null
+    assert all(hashes[i] is not None for i in range(6))
+
+    got = {(r["id_a"], r["id_b"]) for r in multimodal.image_neardup_pairs(media, max_hamming=3).collect()}
+    assert got == {(i, 100 + i) for i in range(6)}
+
+    # strict mode propagates the corrupt-payload error instead of nulling
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.image_dhashes(media, strict=True).collect()

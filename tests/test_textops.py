@@ -680,3 +680,54 @@ def test_ensure_parallelism_plan_shapes(spark, tmp_path):
     # shuffle-bearing: untouched (object identity — no extra repartition)
     agg = scan.groupBy("doc_id").count()
     assert textops.ensure_parallelism(agg) is agg
+
+
+def test_hamming_neardup_pairs_matches_bruteforce(spark):
+    """Generic bit-slice blocking is EXACT within the radius: every run at
+    every (radius, n_chunks) combo reproduces the python all-pairs brute
+    force over a hash set with planted ≤5-bit perturbations."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    hashes = [int(v) for v in rng.integers(-(2 ** 63), 2 ** 63, size=40, dtype=np.int64)]
+    for i in range(0, 40, 4):  # planted near twins of varying distance
+        h = hashes[i]
+        for b in rng.choice(64, size=int(rng.integers(1, 6)), replace=False):
+            h ^= 1 << int(b)
+        if h >= 2 ** 63:
+            h -= 2 ** 64
+        hashes.append(h)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id long, h long"
+    )
+
+    def brute(max_h):
+        out = set()
+        for i in range(len(hashes)):
+            for j in range(i + 1, len(hashes)):
+                d = bin((hashes[i] ^ hashes[j]) & (2 ** 64 - 1)).count("1")
+                if d <= max_h:
+                    out.add((i, j, d))
+        return out
+
+    for max_h, n_chunks in [(0, None), (3, None), (6, None), (3, 8), (7, 8)]:
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in textops.hamming_neardup_pairs(
+                df, "id", "h", max_hamming=max_h, n_chunks=n_chunks
+            ).collect()
+        }
+        assert got == brute(max_h), f"mismatch at max_hamming={max_h} n_chunks={n_chunks}"
+    assert brute(6), "fixture must actually plant >3-bit pairs"
+
+
+def test_hamming_neardup_pairs_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 0)], "id long, h long")
+    with pytest.raises(ValueError, match="max_hamming"):
+        textops.hamming_neardup_pairs(df, "id", "h", max_hamming=32)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        textops.hamming_neardup_pairs(df, "id", "h", max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError, match="power of two"):
+        textops.hamming_neardup_pairs(df, "id", "h", max_hamming=3, n_chunks=5)
