@@ -708,6 +708,136 @@ def image_neardup_pairs(
     )
 
 
+def _bits_to_i64(bits: np.ndarray) -> int:
+    """64 comparison bits → signed int64 (Spark LongType)."""
+    h = int((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_ahash(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: 65-window integer |amplitude| envelope →
+    adjacent-window comparison bits.
+
+    All-integer, so bit-identical across platforms, and exactly invariant
+    to uniform gain (no clipping): window sums scale linearly, so every
+    comparison is preserved.  Coarse by design — flat envelopes (silence)
+    collide at hash 0; like all perceptual blocking, pairs are candidates
+    for downstream verification, which is why :func:`media_neardup_pairs`
+    partitions pairing by kind.
+    """
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 2:
+        s = s.sum(axis=1)  # integer mono mix
+    n = s.size
+    if n == 0:
+        return 0
+    bounds = np.arange(65, dtype=np.int64) * n // 65  # 65 windows over [0, n)
+    env = np.add.reduceat(np.abs(s), bounds)
+    return _bits_to_i64(env[:-1] < env[1:])
+
+
+def video_mhash(frames: np.ndarray) -> int:
+    """64-bit video fingerprint: 32 temporal bits (per-frame integer luma
+    sums, nearest-resampled to a 33-point envelope, adjacent comparisons)
+    + 32 spatial bits (time-summed luma image → 4×9 nearest thumbnail →
+    adjacent-cell comparisons, dHash-style).
+
+    Both halves are exactly invariant to uniform brightness shift (every
+    frame sum and every summed pixel move uniformly) and to exact spatial
+    pixel-doubling (sums scale by 4; the doubled thumbnail samples the
+    same cells).  The spatial half keeps short clips informative — a
+    T-frame envelope alone carries only ~T-1 bits — and separates static
+    clips by content; only flat static clips collide at 0.
+    """
+    f = np.asarray(frames, dtype=np.int64)
+    if f.shape[0] == 0:
+        return 0
+    sums = f.reshape(f.shape[0], -1).sum(axis=1)
+    idx = (np.arange(33) * sums.size // 33).clip(0, sums.size - 1)
+    env = sums[idx]
+    t_bits = env[:-1] < env[1:]
+    th = resize_nearest(f.sum(axis=0), 4, 9)
+    s_bits = (th[:, :-1] < th[:, 1:]).ravel()
+    return _bits_to_i64(np.concatenate([t_bits, s_bits]))
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def media_phashes(media: DataFrame, strict: bool = False) -> DataFrame:
+    """(media_id, kind, phash) per row, routed by magic bytes like
+    :func:`decode_features`: PNG → :func:`image_dhash`, WAV →
+    :func:`audio_ahash`, Y4M → :func:`video_mhash`.  Payloads never leave
+    the executors; unroutable/corrupt rows yield null (strict raises).
+    """
+
+    def _one(raw: bytes) -> int | None:
+        if raw.startswith(_PNG_SIG):
+            return image_dhash(decode_png(raw))
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            return audio_ahash(decode_wav(raw)[1])
+        if raw.startswith(_Y4M_SIG):
+            return video_mhash(decode_y4m(raw)[1])
+        raise NotImplementedError(
+            "no perceptual hash for this payload format in this environment; "
+            "install codec libs and extend multimodal.media_phashes"
+        )
+
+    def _batches(it):
+        for pdf in it:
+            out: list[int | None] = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(_one(bytes(p)))
+                except Exception:
+                    # untrusted crawled bytes: one bad payload must not kill
+                    # the stage in the pipeline path
+                    if strict:
+                        raise
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _batches, PHASH_SCHEMA
+    )
+
+
+def media_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Near-dup media pairs across ALL kinds in one pass: one decode per
+    payload, then the generic pigeonhole-blocked hamming self-join with
+    pairing PARTITIONED by kind — a silent audio clip and a static video
+    both hash to 0 but can never cross-pair.  Output: (kind, id_a, id_b,
+    hamming)."""
+    from crawlspark.textops import hamming_neardup_pairs
+
+    hashes = media_phashes(media).filter(F.col("phash").isNotNull())
+    return hamming_neardup_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        partition_cols=("kind",),
+    )
+
+
 def _seed_bytes(tag: str, n: int) -> np.ndarray:
     """n deterministic bytes from repeated sha256 of tag."""
     out = b""

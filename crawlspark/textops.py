@@ -260,17 +260,22 @@ def hamming_neardup_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 3,
     n_chunks: int | None = None,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pairs of rows whose 64-bit hashes differ in ≤ ``max_hamming`` bits.
 
-    The generic scale path behind SimHash text near-dup AND image dHash
-    near-dup: block on ``n_chunks`` equal bit-slices (pigeonhole: ≤
-    ``max_hamming`` < ``n_chunks`` differing bits ⇒ at least one identical
-    slice), so the self-join is equi on (chunk_idx, chunk_val), never a
-    cross product — exact by construction, no recall loss.  ``n_chunks``
-    defaults to the smallest power of two that makes the pigeonhole hold
-    for the requested radius (more slices = more candidate rows = larger
-    exact radius); pass it explicitly only to over-block on purpose.
+    The generic scale path behind SimHash text near-dup AND media
+    perceptual-hash near-dup: block on ``n_chunks`` equal bit-slices
+    (pigeonhole: ≤ ``max_hamming`` < ``n_chunks`` differing bits ⇒ at
+    least one identical slice), so the self-join is equi on (chunk_idx,
+    chunk_val), never a cross product — exact by construction, no recall
+    loss.  ``n_chunks`` defaults to the smallest power of two that makes
+    the pigeonhole hold for the requested radius (more slices = more
+    candidate rows = larger exact radius); pass it explicitly only to
+    over-block on purpose.  ``partition_cols`` restricts pairing to rows
+    that match exactly on those columns (e.g. media kind, language) —
+    they join the blocking key, so disjoint partitions never meet, and
+    the a-side values are carried into the output.
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError(f"max_hamming must be in [0, 31]; got {max_hamming}")
@@ -286,8 +291,10 @@ def hamming_neardup_pairs(
         raise ValueError(f"n_chunks must be a power of two in [2, 32]; got {n_chunks}")
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    src = df.select(F.col(id_col), F.col(hash_col).alias("_h"))
+    pcols = list(partition_cols)
+    src = df.select(*pcols, F.col(id_col), F.col(hash_col).alias("_h"))
     chunks = src.select(
+        *pcols,
         id_col,
         "_h",
         F.explode(
@@ -303,16 +310,19 @@ def hamming_neardup_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "_h", "ch.chunk_idx", "ch.chunk_val")
+    ).select(*pcols, id_col, "_h", "ch.chunk_idx", "ch.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
+    cond = (
+        (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for pc in pcols:
+        cond = cond & (F.col(f"a.{pc}") == F.col(f"b.{pc}"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
+            *[F.col(f"a.{pc}").alias(pc) for pc in pcols],
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a._h").alias("h_a"),
@@ -323,7 +333,7 @@ def hamming_neardup_pairs(
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    ).select(*pcols, "id_a", "id_b", "hamming")
 
 
 def simhash_neardup_pairs(

@@ -338,3 +338,79 @@ def test_image_neardup_pairs_planted(spark):
 
     with pytest.raises(Exception):
         multimodal.image_dhashes(media, strict=True).collect()
+
+
+def test_audio_video_phash_invariances():
+    import numpy as np
+
+    # audio: seeded per-window amplitude patterns (constant-amplitude tones
+    # have flat envelopes — useless for distance checks)
+    def aud(tag):
+        env = multimodal._seed_bytes(tag, 130).astype(np.int64) + 1
+        return np.repeat(env * 50, 31).astype(np.int16)
+
+    a = aud("audA")
+    h = multimodal.audio_ahash(a)
+    assert h == multimodal.audio_ahash(a)
+    # exact gain invariance (no clipping) and integer stereo mono-mix
+    assert multimodal.audio_ahash(a.astype(np.int64) * 3) == h
+    assert multimodal.audio_ahash(np.stack([a, a], axis=1)) == h
+    assert multimodal.audio_ahash(np.zeros(100, dtype=np.int16)) == 0
+    assert multimodal.audio_ahash(np.zeros(0, dtype=np.int16)) == 0
+    d = bin((multimodal.audio_ahash(aud("audB")) ^ h) & (2 ** 64 - 1)).count("1")
+    assert d > 10, f"distinct audio should be many bits apart, got {d}"
+
+    # video: seeded per-frame content
+    def vid(tag):
+        return multimodal._seed_bytes(tag, 10 * 16 * 16).reshape(10, 16, 16) % 200
+
+    f = vid("vidA")
+    hv = multimodal.video_mhash(f)
+    assert hv == multimodal.video_mhash(f)
+    # uniform brightness shift and exact spatial pixel-doubling: exact
+    assert multimodal.video_mhash(f + 5) == hv
+    assert multimodal.video_mhash(np.repeat(np.repeat(f, 2, axis=1), 2, axis=2)) == hv
+    assert multimodal.video_mhash(np.full((5, 8, 8), 7, dtype=np.uint8)) == 0
+    assert multimodal.video_mhash(np.zeros((0, 8, 8), dtype=np.uint8)) == 0
+    dv = bin((multimodal.video_mhash(vid("vidB")) ^ hv) & (2 ** 64 - 1)).count("1")
+    assert dv > 10, f"distinct video should be many bits apart, got {dv}"
+
+
+def test_media_neardup_pairs_planted_all_kinds(spark):
+    """One decode pass pairs near-dups within every kind; kind-partitioned
+    blocking keeps the hash-0 degenerates (silent audio, static video)
+    from cross-pairing."""
+    import numpy as np
+
+    img = (multimodal._seed_bytes("mm0", 24 * 24 * 3).reshape(24, 24, 3) % 128) + 40
+    aud_env = multimodal._seed_bytes("mma", 130).astype(np.int64) + 1
+    aud = np.repeat(aud_env * 50, 31).astype(np.int16)
+    frames = multimodal._seed_bytes("mmv", 10 * 16 * 16).reshape(10, 16, 16) % 200
+    rows = [
+        (0, None, "image", multimodal.encode_png(img), "png", None, 24, 24, None),
+        (1, None, "image", multimodal.encode_png((img + 4).astype(np.uint8)), "png", None, 24, 24, None),
+        (2, None, "audio", multimodal.encode_wav(aud), "wav", None, None, None, None),
+        (3, None, "audio", multimodal.encode_wav((aud.astype(np.int64) * 2).astype(np.int16)), "wav", None, None, None, None),
+        (4, None, "video", multimodal.encode_y4m(frames.astype(np.uint8)), "y4m", None, 16, 16, None),
+        (5, None, "video", multimodal.encode_y4m((frames + 5).astype(np.uint8)), "y4m", None, 16, 16, None),
+        # hash-0 degenerates of DIFFERENT kinds: must never pair
+        (6, None, "audio", multimodal.encode_wav(np.zeros(500, dtype=np.int16)), "wav", None, None, None, None),
+        (7, None, "video", multimodal.encode_y4m(np.full((4, 8, 8), 9, dtype=np.uint8)), "y4m", None, 8, 8, None),
+        # opaque blob: null phash, drops out
+        (8, None, "video", bytes(multimodal._seed_bytes("blob", 64)), "mkv", None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        (r["kind"], r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.media_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert got == {("image", 0, 1, 0), ("audio", 2, 3, 0), ("video", 4, 5, 0)}
+
+    hashes = {r["media_id"]: r["phash"] for r in multimodal.media_phashes(media).collect()}
+    assert hashes[6] == 0 and hashes[7] == 0  # degenerates really do collide at 0
+    assert hashes[8] is None
+
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.media_phashes(media, strict=True).collect()

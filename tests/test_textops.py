@@ -731,3 +731,24 @@ def test_hamming_neardup_pairs_validation(spark):
         textops.hamming_neardup_pairs(df, "id", "h", max_hamming=4, n_chunks=4)
     with pytest.raises(ValueError, match="power of two"):
         textops.hamming_neardup_pairs(df, "id", "h", max_hamming=3, n_chunks=5)
+
+
+def test_hamming_neardup_pairs_partition_cols(spark):
+    """partition_cols rows pair only within matching values — identical
+    hashes in different partitions (the silent-audio / static-video
+    degenerate) never meet — and the a-side value is carried in the
+    output."""
+    rows = [
+        (0, 0, "a"),
+        (1, 0, "a"),   # same hash, same partition  -> pair
+        (2, 0, "b"),   # same hash, other partition -> no cross pair
+        (3, 1, "b"),   # 1 bit from id 2 within "b" -> pair
+    ]
+    df = spark.createDataFrame(rows, "id long, h long, kind string")
+    got = {
+        (r["kind"], r["id_a"], r["id_b"], r["hamming"])
+        for r in textops.hamming_neardup_pairs(
+            df, "id", "h", max_hamming=3, partition_cols=("kind",)
+        ).collect()
+    }
+    assert got == {("a", 0, 1, 0), ("b", 2, 3, 1)}
