@@ -1294,10 +1294,13 @@ def ann_lsh(spark, sf):
 @_q(
     "multimodal_pipeline",
     """SELECT * FROM (VALUES
-         ('audio', CAST(33 AS BIGINT), '0952d504942c7aa90d61b7b630f217c7'),
-         ('image', CAST(33 AS BIGINT), 'b6c563a6422bfe555ce54b55315d7409'),
-         ('video', CAST(33 AS BIGINT), 'efbcabea4f1ff104edf66935c14da187')
-       ) AS t(kind, n, feat_digest)""",
+         ('audio', CAST(33 AS BIGINT), '0952d504942c7aa90d61b7b630f217c7',
+          CAST(36 AS BIGINT), CAST(3 AS BIGINT), '842aadac8cc6df427cec22ec7d72c52a'),
+         ('image', CAST(33 AS BIGINT), 'b6c563a6422bfe555ce54b55315d7409',
+          CAST(36 AS BIGINT), CAST(3 AS BIGINT), 'cdf195bfca47acb9d6680ab7b375ab85'),
+         ('video', CAST(33 AS BIGINT), 'efbcabea4f1ff104edf66935c14da187',
+          CAST(23 AS BIGINT), CAST(175 AS BIGINT), '2d469e6452cdbccba17d25fdf263523f')
+       ) AS t(kind, n, feat_digest, n_phash, n_pairs, pair_digest)""",
 )
 def multimodal_pipeline(spark, sf):
     """Multimodal end-to-end: typed metadata projection joined to
@@ -1309,7 +1312,15 @@ def multimodal_pipeline(spark, sf):
     per-kind media count and the md5 over every row's
     media_id:payload_sha256:rounded-features string (ordered by media_id)
     are constants the SQL states — one flipped bit anywhere in decode,
-    feature extraction, metadata, or the join breaks the digest."""
+    feature extraction, metadata, or the join breaks the digest.
+
+    Late r4 the entry also pins the perceptual-hash near-dup path:
+    base table + synthesize_twin_media (pixel-doubled image twins,
+    stereo audio twins — hash-invariant perturbations) → media_phashes
+    count and the ordered media_neardup_pairs list digest per kind.  The
+    6 planted twins pair at hamming 0; the 175 video pairs are REAL
+    collisions — the synthesized moving-square clips are near-identical
+    content, which is exactly what a coarse perceptual hash reports."""
     from crawlspark import multimodal
 
     media = multimodal.synthesize_real_media(spark, 99)
@@ -1320,7 +1331,7 @@ def multimodal_pipeline(spark, sf):
     )
     meta = multimodal.media_metadata(media)
     full = meta.join(feats, "media_id")
-    return full.groupBy("kind").agg(
+    base = full.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.md5(
             F.concat_ws(
@@ -1339,6 +1350,29 @@ def multimodal_pipeline(spark, sf):
             )
         ).alias("feat_digest"),
     )
+    both = media.unionByName(multimodal.synthesize_twin_media(spark))
+    n_phash = (
+        multimodal.media_phashes(both)
+        .filter(F.col("phash").isNotNull())
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_phash"))
+    )
+    pair_agg = multimodal.media_neardup_pairs(both, max_hamming=3).groupBy("kind").agg(
+        F.count("*").alias("n_pairs"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id_a", "id_b", "hamming"))),
+                    lambda s: F.concat_ws(
+                        ":", s["id_a"].cast("string"), s["id_b"].cast("string"),
+                        s["hamming"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("pair_digest"),
+    )
+    return base.join(n_phash, "kind").join(pair_agg, "kind")
 
 
 @_q(

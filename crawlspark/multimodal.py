@@ -848,6 +848,59 @@ def _seed_bytes(tag: str, n: int) -> np.ndarray:
     return np.frombuffer(out[:n], dtype=np.uint8)
 
 
+def _real_media_row(i: int) -> tuple:
+    """Row i of the deterministic real-payload media table (see
+    synthesize_real_media); pure function of i, so twins can rebuild and
+    perturb any row without touching the base table's bytes."""
+    kind = ["image", "audio", "video"][i % 3]
+    if kind == "image":
+        side = 8 + (i % 3) * 4
+        arr = _seed_bytes(f"img{i}", side * side * 3).reshape(side, side, 3)
+        payload, fmt = encode_png(arr), "png"
+        w = h = side
+        dur = None
+    elif kind == "audio":
+        nsamp = 1600 + (i % 5) * 800
+        t = np.arange(nsamp, dtype=np.float32)
+        tone = np.sin(2 * np.pi * (100.0 + i) * t / 16000.0)
+        noise = (_seed_bytes(f"aud{i}", nsamp).astype(np.float32) - 127.5) / 1024.0
+        samples = np.clip((tone * 0.5 + noise) * 32767, -32768, 32767).astype(np.int16)
+        payload, fmt = encode_wav(samples, 16000), "wav"
+        w = h = None
+        dur = int(nsamp / 16.0)
+    elif i % 18 == 17:  # every 6th video: real ISOBMFF container
+        dur = 1000 * (1 + i % 30)
+        w, h = 320, 240
+        payload, fmt = (
+            encode_mp4_meta(dur, w, h, handlers=(b"vide", b"soun")),
+            "mp4",
+        )
+    elif i % 18 == 11:  # opaque codec-compressed blob: honest boundary
+        payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mkv"
+        w = h = None
+        dur = 1000 * (1 + i % 30)
+    else:
+        t, side, fps = 4 + (i % 5), 16, 10
+        frames = np.full((t, side, side), 30, dtype=np.uint8)
+        for fr in range(t):
+            off = 0 if i % 9 == 8 else (2 * fr) % (side - 4)  # static 1-in-9
+            frames[fr, off : off + 4, off : off + 4] = 200
+        payload, fmt = encode_y4m(frames, (fps, 1)), "y4m"
+        w = h = side
+        dur = int(1000 * t / fps)
+    return (
+        i,
+        f"https://media{i % 7}.example/m/{i}",
+        kind,
+        payload,
+        fmt,
+        len(payload),
+        w,
+        h,
+        dur,
+    )
+
+
 def synthesize_real_media(spark, n: int = 60) -> DataFrame:
     """Deterministic media table whose payloads are REAL files (PNG via
     encode_png, WAV via encode_wav, Y4M video via encode_y4m — a moving
@@ -855,57 +908,30 @@ def synthesize_real_media(spark, n: int = 60) -> DataFrame:
     video is a real ISOBMFF mp4 container (box-parsed metadata); one
     video per 18 stays an opaque codec-compressed blob — the strict-mode
     boundary the tests pin down."""
+    return spark.createDataFrame([_real_media_row(i) for i in range(n)], MEDIA_SCHEMA)
+
+
+def synthesize_twin_media(
+    spark, image_ids: tuple[int, ...] = (0, 3, 6), audio_ids: tuple[int, ...] = (1, 4, 7)
+) -> DataFrame:
+    """Perceptual twins of chosen synthesize_real_media rows, id += 1000:
+    images re-encoded pixel-doubled (2× nearest upscale — safe for ANY
+    content, unlike a brightness shift, which wraps at 252+), audio
+    re-encoded as duplicated-channel stereo — perturbations the hashes
+    are PROVABLY invariant to (dHash doubling identity, ahash integer
+    mono-mix), so each twin pairs with its base at hamming 0.
+    Deterministic, hence a constant the driver oracle can state."""
     rows = []
-    for i in range(n):
-        kind = ["image", "audio", "video"][i % 3]
-        if kind == "image":
-            side = 8 + (i % 3) * 4
-            arr = _seed_bytes(f"img{i}", side * side * 3).reshape(side, side, 3)
-            payload, fmt = encode_png(arr), "png"
-            w = h = side
-            dur = None
-        elif kind == "audio":
-            nsamp = 1600 + (i % 5) * 800
-            t = np.arange(nsamp, dtype=np.float32)
-            tone = np.sin(2 * np.pi * (100.0 + i) * t / 16000.0)
-            noise = (_seed_bytes(f"aud{i}", nsamp).astype(np.float32) - 127.5) / 1024.0
-            samples = np.clip((tone * 0.5 + noise) * 32767, -32768, 32767).astype(np.int16)
-            payload, fmt = encode_wav(samples, 16000), "wav"
-            w = h = None
-            dur = int(nsamp / 16.0)
-        elif i % 18 == 17:  # every 6th video: real ISOBMFF container
-            dur = 1000 * (1 + i % 30)
-            w, h = 320, 240
-            payload, fmt = (
-                encode_mp4_meta(dur, w, h, handlers=(b"vide", b"soun")),
-                "mp4",
-            )
-        elif i % 18 == 11:  # opaque codec-compressed blob: honest boundary
-            payload, fmt = bytes(_seed_bytes(f"vid{i}", 256)), "mkv"
-            w = h = None
-            dur = 1000 * (1 + i % 30)
-        else:
-            t, side, fps = 4 + (i % 5), 16, 10
-            frames = np.full((t, side, side), 30, dtype=np.uint8)
-            for fr in range(t):
-                off = 0 if i % 9 == 8 else (2 * fr) % (side - 4)  # static 1-in-9
-                frames[fr, off : off + 4, off : off + 4] = 200
-            payload, fmt = encode_y4m(frames, (fps, 1)), "y4m"
-            w = h = side
-            dur = int(1000 * t / fps)
-        rows.append(
-            (
-                i,
-                f"https://media{i % 7}.example/m/{i}",
-                kind,
-                payload,
-                fmt,
-                len(payload),
-                w,
-                h,
-                dur,
-            )
-        )
+    for i in image_ids:
+        base = _real_media_row(i)
+        arr = decode_png(base[3])
+        payload = encode_png(np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1))
+        rows.append((1000 + i, base[1], "image", payload, "png", len(payload), 2 * base[6], 2 * base[7], base[8]))
+    for i in audio_ids:
+        base = _real_media_row(i)
+        rate, samples = decode_wav(base[3])
+        payload = encode_wav(np.repeat(samples[:, :1], 2, axis=1), rate)
+        rows.append((1000 + i, base[1], "audio", payload, "wav", len(payload), None, None, base[8]))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -414,3 +414,24 @@ def test_media_neardup_pairs_planted_all_kinds(spark):
 
     with pytest.raises(Exception):
         multimodal.media_phashes(media, strict=True).collect()
+
+
+def test_twin_media_pairs_at_zero(spark):
+    """synthesize_twin_media's perturbations (pixel-doubled image, stereo
+    audio) are hash-invariant by construction: every twin pairs with its
+    base at hamming 0 through the full decode→hash→block pipeline."""
+    media = multimodal.synthesize_real_media(spark, 9)
+    both = media.unionByName(multimodal.synthesize_twin_media(spark))
+    got = {
+        (r["kind"], r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.media_neardup_pairs(both).collect()
+        if r["id_b"] >= 1000
+    }
+    assert got == {
+        ("image", 0, 1000, 0),
+        ("image", 3, 1003, 0),
+        ("image", 6, 1006, 0),
+        ("audio", 1, 1001, 0),
+        ("audio", 4, 1004, 0),
+        ("audio", 7, 1007, 0),
+    }
