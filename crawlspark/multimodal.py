@@ -838,6 +838,20 @@ def media_neardup_pairs(
     )
 
 
+def media_dedup(
+    media: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """One row per perceptual cluster: :func:`media_neardup_pairs` →
+    ``textops.neardup_dedup`` (large-star/small-star connected
+    components, min-media_id canonical pick, unpaired rows pass
+    through untouched) — the media twin of MinHash/SimHash cluster
+    dedup, same O(log² n)-round machinery."""
+    from crawlspark.textops import neardup_dedup
+
+    pairs = media_neardup_pairs(media, max_hamming=max_hamming, n_chunks=n_chunks)
+    return neardup_dedup(media, pairs, id_col="media_id")
+
+
 def _seed_bytes(tag: str, n: int) -> np.ndarray:
     """n deterministic bytes from repeated sha256 of tag."""
     out = b""

@@ -435,3 +435,16 @@ def test_twin_media_pairs_at_zero(spark):
         ("audio", 4, 1004, 0),
         ("audio", 7, 1007, 0),
     }
+
+
+def test_media_dedup_collapses_clusters(spark):
+    """Twins and transitive video clusters collapse to min-id canonicals;
+    unpaired and unhashable rows pass through."""
+    media = multimodal.synthesize_real_media(spark, 9)
+    both = media.unionByName(multimodal.synthesize_twin_media(spark))
+    kept = sorted(r["media_id"] for r in multimodal.media_dedup(both).collect())
+    # every twin (1000+) collapses onto its base; videos 2,5,8 are one
+    # transitive near-identical cluster (moving squares) -> canonical 2
+    assert kept == [0, 1, 2, 3, 4, 6, 7]
+    # schema passes through intact
+    assert multimodal.media_dedup(both).columns == both.columns
