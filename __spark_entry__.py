@@ -1351,13 +1351,11 @@ def multimodal_pipeline(spark, sf):
         ).alias("feat_digest"),
     )
     both = media.unionByName(multimodal.synthesize_twin_media(spark))
-    n_phash = (
-        multimodal.media_phashes(both)
-        .filter(F.col("phash").isNotNull())
-        .groupBy("kind")
-        .agg(F.count("*").alias("n_phash"))
-    )
-    pair_agg = multimodal.media_neardup_pairs(both, max_hamming=3).groupBy("kind").agg(
+    ph = multimodal.media_phashes(both).filter(F.col("phash").isNotNull())
+    n_phash = ph.groupBy("kind").agg(F.count("*").alias("n_phash"))
+    pair_agg = multimodal.media_neardup_pairs(
+        None, max_hamming=3, phashes=ph  # one decode pass feeds both aggs
+    ).groupBy("kind").agg(
         F.count("*").alias("n_pairs"),
         F.md5(
             F.concat_ws(

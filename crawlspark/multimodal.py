@@ -642,18 +642,17 @@ def image_dhash(arr: np.ndarray) -> int:
     else:
         g = a.astype(np.int64)
     th = resize_nearest(g, 8, 9)
-    bits = (th[:, :-1] < th[:, 1:]).astype(np.uint64).ravel()
-    h = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return _bits_to_i64((th[:, :-1] < th[:, 1:]).ravel())
 
 
 def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
     """(media_id, dhash) per row via mapInPandas — payloads stay executor-
     side in Arrow batches, the driver only ever sees 8-byte hashes.
 
-    Decodable PNG payloads get a real dHash; non-PNG / undecodable rows
-    yield null (strict mode raises instead — same contract as
-    :func:`decode_features`).
+    Decodable PNG payloads get a real dHash (the shared `_phash_one`
+    router); rows whose payload routes to a DIFFERENT hash family or
+    doesn't decode yield null (strict mode raises instead — same contract
+    as :func:`decode_features`).
     """
 
     def _batches(it):
@@ -663,29 +662,29 @@ def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
                 if p is None:
                     out.append(None)
                     continue
-                raw = bytes(p)
-                if not raw.startswith(_PNG_SIG):
-                    if strict:
-                        raise NotImplementedError(
-                            "no image codec for this payload format in this "
-                            "environment; install PIL/ffmpeg and extend "
-                            "multimodal.image_dhashes"
-                        )
-                    out.append(None)
-                    continue
                 try:
-                    out.append(image_dhash(decode_png(raw)))
+                    algo, h = _phash_one(bytes(p))
+                    if algo != "image":
+                        raise NotImplementedError(
+                            f"payload routes to {algo}, not a decodable image"
+                        )
                 except Exception:
                     # untrusted crawled bytes: one corrupt payload must not
                     # kill the stage in the pipeline path
                     if strict:
                         raise
                     out.append(None)
+                    continue
+                out.append(h)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "dhash": pd.array(out, dtype="Int64")}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_batches, DHASH_SCHEMA)
+    from crawlspark.textops import ensure_parallelism
+
+    return ensure_parallelism(media.select("media_id", "payload")).mapInPandas(
+        _batches, DHASH_SCHEMA
+    )
 
 
 def image_neardup_pairs(
@@ -761,81 +760,104 @@ def video_mhash(frames: np.ndarray) -> int:
     return _bits_to_i64(np.concatenate([t_bits, s_bits]))
 
 
+def _phash_one(raw: bytes) -> tuple[str, int]:
+    """(detected algo, hash) routed by magic bytes — the ONE decode/route
+    contract behind media_phashes and image_dhashes: PNG →
+    :func:`image_dhash`, WAV → :func:`audio_ahash`, Y4M →
+    :func:`video_mhash`.  Raises on unroutable payloads."""
+    if raw.startswith(_PNG_SIG):
+        return "image", image_dhash(decode_png(raw))
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return "audio", audio_ahash(decode_wav(raw)[1])
+    if raw.startswith(_Y4M_SIG):
+        return "video", video_mhash(decode_y4m(raw)[1])
+    raise NotImplementedError(
+        "no perceptual hash for this payload format in this environment; "
+        "install codec libs and extend multimodal._phash_one"
+    )
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
+        StructField("algo", StringType(), True),
         StructField("phash", LongType(), True),
     ]
 )
 
 
 def media_phashes(media: DataFrame, strict: bool = False) -> DataFrame:
-    """(media_id, kind, phash) per row, routed by magic bytes like
-    :func:`decode_features`: PNG → :func:`image_dhash`, WAV →
-    :func:`audio_ahash`, Y4M → :func:`video_mhash`.  Payloads never leave
-    the executors; unroutable/corrupt rows yield null (strict raises).
-    """
-
-    def _one(raw: bytes) -> int | None:
-        if raw.startswith(_PNG_SIG):
-            return image_dhash(decode_png(raw))
-        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-            return audio_ahash(decode_wav(raw)[1])
-        if raw.startswith(_Y4M_SIG):
-            return video_mhash(decode_y4m(raw)[1])
-        raise NotImplementedError(
-            "no perceptual hash for this payload format in this environment; "
-            "install codec libs and extend multimodal.media_phashes"
-        )
+    """(media_id, kind, algo, phash) per row.  ``kind`` is the table's
+    declared label; ``algo`` is the hash family DETECTED from the payload
+    magic bytes — they differ when a crawled row is mislabeled (wrong
+    Content-Type), which is why near-dup pairing partitions on both.
+    Payloads never leave the executors; unroutable/corrupt rows yield
+    null algo+hash (strict raises)."""
 
     def _batches(it):
         for pdf in it:
+            algos: list[str | None] = []
             out: list[int | None] = []
             for p in pdf["payload"]:
                 if p is None:
+                    algos.append(None)
                     out.append(None)
                     continue
                 try:
-                    out.append(_one(bytes(p)))
+                    algo, h = _phash_one(bytes(p))
                 except Exception:
                     # untrusted crawled bytes: one bad payload must not kill
                     # the stage in the pipeline path
                     if strict:
                         raise
-                    out.append(None)
+                    algo, h = None, None
+                algos.append(algo)
+                out.append(h)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
+                    "algo": algos,
                     "phash": pd.array(out, dtype="Int64"),
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    from crawlspark.textops import ensure_parallelism
+
+    return ensure_parallelism(media.select("media_id", "kind", "payload")).mapInPandas(
         _batches, PHASH_SCHEMA
     )
 
 
 def media_neardup_pairs(
-    media: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+    media: DataFrame | None,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    phashes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup media pairs across ALL kinds in one pass: one decode per
     payload, then the generic pigeonhole-blocked hamming self-join with
-    pairing PARTITIONED by kind — a silent audio clip and a static video
-    both hash to 0 but can never cross-pair.  Output: (kind, id_a, id_b,
-    hamming)."""
+    pairing PARTITIONED by (kind, algo) — a silent audio clip and a
+    static video both hash to 0 but can never cross-pair, and a
+    mislabeled row (kind='image', WAV bytes) whose ahash lands near a
+    real image's dHash can't produce a meaningless cross-algorithm pair
+    either.  Pass ``phashes`` (a :func:`media_phashes` result) to reuse
+    hashes already computed and skip the decode pass.  Output: (kind,
+    id_a, id_b, hamming)."""
     from crawlspark.textops import hamming_neardup_pairs
 
-    hashes = media_phashes(media).filter(F.col("phash").isNotNull())
+    if phashes is None:
+        phashes = media_phashes(media)
+    hashes = phashes.filter(F.col("phash").isNotNull())
     return hamming_neardup_pairs(
         hashes,
         id_col="media_id",
         hash_col="phash",
         max_hamming=max_hamming,
         n_chunks=n_chunks,
-        partition_cols=("kind",),
-    )
+        partition_cols=("kind", "algo"),
+    ).select("kind", "id_a", "id_b", "hamming")
 
 
 def media_dedup(

@@ -275,7 +275,9 @@ def hamming_neardup_pairs(
     over-block on purpose.  ``partition_cols`` restricts pairing to rows
     that match exactly on those columns (e.g. media kind, language) —
     they join the blocking key, so disjoint partitions never meet, and
-    the a-side values are carried into the output.
+    the a-side values are carried into the output.  Matching is
+    NULL-SAFE: rows whose partition value is null (unknown language is
+    common) pair among themselves rather than silently never pairing.
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError(f"max_hamming must be in [0, 31]; got {max_hamming}")
@@ -318,7 +320,7 @@ def hamming_neardup_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
     for pc in pcols:
-        cond = cond & (F.col(f"a.{pc}") == F.col(f"b.{pc}"))
+        cond = cond & F.col(f"a.{pc}").eqNullSafe(F.col(f"b.{pc}"))
     pairs = (
         a.join(b, cond)
         .select(

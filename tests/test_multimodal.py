@@ -448,3 +448,26 @@ def test_media_dedup_collapses_clusters(spark):
     assert kept == [0, 1, 2, 3, 4, 6, 7]
     # schema passes through intact
     assert multimodal.media_dedup(both).columns == both.columns
+
+
+def test_mislabeled_kind_cannot_cross_pair(spark):
+    """A row labeled kind='image' whose payload is WAV bytes is hashed by
+    its BYTES (algo='audio'); (kind, algo) partitioning keeps it from
+    pairing with images (different algo) AND from pairing with
+    correctly-labeled audio (different kind) — no cross-algorithm or
+    cross-label near-dups from crawl mislabeling."""
+    import numpy as np
+
+    env = multimodal._seed_bytes("mis", 130).astype(np.int64) + 1
+    wav = multimodal.encode_wav(np.repeat(env * 50, 31).astype(np.int16))
+    rows = [
+        (0, None, "audio", wav, "wav", None, None, None, None),
+        (1, None, "image", wav, "png", None, None, None, None),  # mislabeled copy
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    ph = {
+        r["media_id"]: (r["algo"], r["phash"])
+        for r in multimodal.media_phashes(media).collect()
+    }
+    assert ph[1][0] == "audio" and ph[1][1] == ph[0][1]  # routed by bytes, same hash
+    assert multimodal.media_neardup_pairs(media).count() == 0

@@ -752,3 +752,18 @@ def test_hamming_neardup_pairs_partition_cols(spark):
         ).collect()
     }
     assert got == {("a", 0, 1, 0), ("b", 2, 3, 1)}
+
+
+def test_hamming_partition_cols_null_safe(spark):
+    """Null partition values (unknown language) pair among themselves
+    instead of silently never pairing."""
+    df = spark.createDataFrame(
+        [(0, 5, None), (1, 5, None), (2, 5, "en")], "id long, h long, lang string"
+    )
+    got = {
+        (r["lang"], r["id_a"], r["id_b"])
+        for r in textops.hamming_neardup_pairs(
+            df, "id", "h", max_hamming=3, partition_cols=("lang",)
+        ).collect()
+    }
+    assert got == {(None, 0, 1)}
