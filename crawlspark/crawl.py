@@ -156,22 +156,28 @@ def run_round(
     if pages_latest_keys is None:
         pages_latest_keys = fetch.latest_keys(pages)
 
+    def _probe_unseen(df: DataFrame) -> DataFrame:
+        """df ∖ seen, with the bloom/cuckoo pre-filter when a sidecar
+        exists: rows the filter says are definitely-unseen skip the exact
+        anti-join entirely; only the maybe-seen sliver (true hits + ~1%
+        false positives) pays the shuffle against the 10^10-row seen
+        table.  A false positive is therefore re-checked, never dropped
+        (no-false-negative invariant makes the fast path exact).  The ONE
+        probe contract — round entry and the frontier_unseen fresh-link
+        path must never diverge."""
+        if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
+            probed = _filter_mod(cfg.filter_kind).probe(
+                df, bloom_sidecar, keep_maybe_seen=True
+            )
+            sure_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            to_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            return sure_unseen.unionByName(dedup.unseen(to_check, seen))
+        return dedup.unseen(df, seen)
+
     if frontier_unseen:
         candidates = frontier
-    # Bloom pre-filter: rows the bloom says are definitely-unseen skip the
-    # exact anti-join entirely; only the maybe-seen sliver (true hits + ~1%
-    # false positives) pays the shuffle against the 10^10-row seen table.
-    # A false positive is therefore re-checked, never dropped (no-false-
-    # negative invariant makes the fast path exact).
-    elif bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
-        probed = _filter_mod(cfg.filter_kind).probe(
-            frontier, bloom_sidecar, keep_maybe_seen=True
-        )
-        sure_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        to_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        candidates = sure_unseen.unionByName(dedup.unseen(to_check, seen))
     else:
-        candidates = dedup.unseen(frontier, seen)
+        candidates = _probe_unseen(frontier)
 
     with_delay = candidates.join(F.broadcast(robots), "host", "left")
     allowed_flag = polite.allowed_col(F.col("url"), F.col("rules"))
@@ -261,20 +267,9 @@ def run_round(
         # discovered ∖ new_seen = (discovered ∖ delta) ∖ seen — and the
         # stable within() sees the same candidate rows per surviving url,
         # so the kept representative (hence replay order) is identical.
-        fresh = discovered.join(
-            seen_delta.select("url_hash"), "url_hash", "left_anti"
+        fresh = _probe_unseen(
+            discovered.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
         )
-        if bloom_sidecar is not None and os.path.isdir(bloom_sidecar):
-            probed = _filter_mod(cfg.filter_kind).probe(
-                fresh, bloom_sidecar, keep_maybe_seen=True
-            )
-            sure = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            sliver = dedup.unseen(
-                probed.filter(F.col("maybe_seen")).drop("maybe_seen"), seen
-            )
-            fresh = sure.unionByName(sliver)
-        else:
-            fresh = dedup.unseen(fresh, seen)
         new_frontier = dedup.within(leftover.unionByName(fresh), stable=True)
     else:
         new_frontier = dedup.within(

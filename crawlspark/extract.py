@@ -348,14 +348,28 @@ _NOFAST = re.compile(
 
 def _make_joiner(base_url: str | None):
     """Return ``join(href) -> urljoin(base_url, href)`` (byte-identical),
-    amortizing the base parse across a page's links."""
+    amortizing the base parse across a page's links.
+
+    TOTAL over untrusted hrefs: where ``urljoin`` would raise ValueError
+    (unbalanced/invalid bracketed host, e.g. ``http://[bad``), ``join``
+    returns None and the caller drops the href — one hostile link on a
+    crawled page must not kill the extraction stage.  The bracket guard
+    on the verbatim absolute-href branches keeps the fast path aligned
+    with that contract (differential-fuzzed in tests/test_extract.py)."""
     if not base_url:
         # urljoin('', url) returns url verbatim (`if not base: return url`)
         return lambda h: h
+
+    def _slow(h: str) -> str | None:
+        try:
+            return urljoin(base_url, h)
+        except ValueError:
+            return None  # href urllib refuses to parse: drop
+
     try:
         sp = urlsplit(base_url)
     except ValueError:
-        return lambda h: urljoin(base_url, h)
+        return _slow
     scheme, netloc, bpath = sp.scheme, sp.netloc, sp.path
     ok_base = (
         scheme in ("http", "https")
@@ -374,14 +388,17 @@ def _make_joiner(base_url: str | None):
     lsame = len(same_pfx)
     other_pfx = ("http" if scheme == "https" else "https") + "://"
 
-    def join(h: str) -> str:
+    def join(h: str) -> str | None:
         if not h:
             return base_url  # urljoin(base, '') -> base
         if h.startswith(other_pfx):
             # cross-scheme: urljoin returns the href verbatim
-            # (`if scheme != bscheme ... return url`) — no gates needed
-            return h
-        if ok_base and not _NOFAST.search(h):
+            # (`if scheme != bscheme ... return url`) — but only after
+            # urlsplit(h) survives; brackets route to the guarded path
+            # (urlsplit raises on unbalanced/invalid bracketed hosts)
+            if "[" not in h and "]" not in h:
+                return h
+        elif ok_base and not _NOFAST.search(h):
             c = h[0]
             if c == "/":
                 # root-relative: resolved against netloc only; "//" prefix
@@ -391,8 +408,9 @@ def _make_joiner(base_url: str | None):
                     return root + h
             elif h.startswith(same_pfx):
                 # same-scheme absolute round-trips through urlunparse;
-                # identity holds when the netloc is non-empty
-                if lsame < len(h) and h[lsame] != "/":
+                # identity holds when the netloc is non-empty — bracket
+                # guard as above (urlsplit may raise on the netloc)
+                if lsame < len(h) and h[lsame] != "/" and "[" not in h and "]" not in h:
                     return h
             elif (
                 ":" not in h  # "a:b" would parse as scheme "a" -> verbatim
@@ -401,8 +419,10 @@ def _make_joiner(base_url: str | None):
                 and "/." not in h
                 and "//" not in h  # middle empties are filter(None,...)ed
             ):
+                # no scheme/netloc in h, so urlsplit(h) cannot raise
+                # (brackets in a PATH are legal) — verbatim-safe
                 return bdir + h
-        return urljoin(base_url, h)
+        return _slow(h)
 
     return join
 
@@ -463,7 +483,7 @@ def extract_links_one(html_bytes: bytes | None, base_url: str | None) -> list[st
         links = p.links
     if base_url:
         join = _make_joiner(base_url)
-        return [join(h) for h in links]
+        return [u for u in map(join, links) if u is not None]
     return list(links)
 
 
@@ -493,7 +513,7 @@ def extract_both_one(
         tokens, raw_links = p.tokens, p.links
     if base_url and raw_links:
         join = _make_joiner(base_url)
-        links = [join(h) for h in raw_links]
+        links = [u for u in map(join, raw_links) if u is not None]
     else:
         links = list(raw_links)
     return " ".join(tokens), links
@@ -557,7 +577,7 @@ def extract_links_polite_one(
         _, raw_links, nf, ni = r
         if base_url and raw_links:
             join = _make_joiner(base_url)
-            links = [join(h) for h in raw_links]
+            links = [u for u in map(join, raw_links) if u is not None]
         else:
             links = list(raw_links)
         return links, nf, ni
@@ -575,7 +595,11 @@ def extract_links_polite_one(
         except Exception:
             if p.meta_nofollow:
                 p.links = []
-    links = [urljoin(base_url, h) for h in p.links] if base_url else list(p.links)
+    if base_url:
+        join = _make_joiner(base_url)  # same amortized joiner as the fast path
+        links = [u for u in map(join, p.links) if u is not None]
+    else:
+        links = list(p.links)
     return links, p.meta_nofollow, p.meta_noindex
 
 

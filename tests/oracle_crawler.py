@@ -41,7 +41,10 @@ def _pat_match(path: str, pat: str) -> bool:
     anchored = pat.endswith("$")
     core = pat[:-1] if anchored else pat
     rx = ".*".join(re.escape(p) for p in core.split("*"))
-    return re.match("^" + rx + ("$" if anchored else ""), path) is not None
+    # DOTALL + \Z: the engine matcher is newline-agnostic ('.' must cross
+    # '\n' in a path) and an anchor means true end-of-string (re '$' would
+    # also match before a trailing newline)
+    return re.match(rx + (r"\Z" if anchored else ""), path, re.DOTALL) is not None
 
 
 def _match_rules(path: str, rules) -> bool:

@@ -476,7 +476,7 @@ def test_make_joiner_fuzz():
     piece = st.sampled_from(
         ["a", "b2", "/", "//", ".", "..", "?", "#", ";", ":", "&", "=",
          "%41", "~", "-", "_", " ", "\t", "é", "@", "https://", "http://",
-         "x.y", "+", "\\"]
+         "x.y", "+", "\\", "[", "]", "[::1]"]
     )
     href = st.lists(piece, min_size=0, max_size=8).map("".join)
     base = st.sampled_from(JOIN_BASES)
@@ -488,10 +488,31 @@ def test_make_joiner_fuzz():
         try:
             want = urljoin(b, h)
         except ValueError:
-            return  # joiner's fallback raises identically; out of contract
+            want = None  # hostile href: the joiner must DROP, not raise/leak
         assert join(h) == want, (b, h)
 
     run()
+
+
+def test_joiner_drops_urljoin_rejected_hrefs():
+    """Hrefs urljoin raises on (unbalanced/invalid bracketed hosts) map to
+    None from the joiner and are silently dropped by every extractor —
+    one hostile link must not kill the stage or leak verbatim."""
+    base = "https://h0.example/a/b"
+    join = extract._make_joiner(base)
+    for h in ("http://[bad", "https://]x/y", "http://[", "https://[zz]/p"):
+        assert join(h) is None, h
+    html = (
+        '<html><body><a href="http://[bad">x</a>'
+        '<a href="/ok">y</a></body></html>'
+    ).encode()
+    assert extract.extract_links_one(html, base) == ["https://h0.example/ok"]
+    text, links = extract.extract_both_one(html, base)
+    assert links == ["https://h0.example/ok"]
+    polite_links, _, _ = extract.extract_links_polite_one(html, base)
+    assert polite_links == ["https://h0.example/ok"]
+    anchors = extract.extract_anchors_one(html, base)
+    assert [a["url"] for a in anchors] == ["https://h0.example/ok"]
 
 
 def test_generator_corpus_join_fast_share(monkeypatch):

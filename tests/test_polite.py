@@ -300,10 +300,7 @@ _WC_CASES = [
 
 
 def test_wildcard_matching_engine_vs_oracle(spark):
-    import sys as _sys
-
-    _sys.path.insert(0, "/root/repo/tests")
-    from oracle_crawler import _match_rules
+    from oracle_crawler import _match_rules  # pytest rootdir puts tests/ on the path
 
     rows = []
     for i, (rules, path, want) in enumerate(_WC_CASES):
