@@ -471,3 +471,46 @@ def test_mislabeled_kind_cannot_cross_pair(spark):
     }
     assert ph[1][0] == "audio" and ph[1][1] == ph[0][1]  # routed by bytes, same hash
     assert multimodal.media_neardup_pairs(media).count() == 0
+
+
+def test_phash_invariance_properties():
+    """Hypothesis: the documented exact invariances hold for ARBITRARY
+    content, not just the seeded fixtures — dHash under brightness shift
+    (no clipping) and pixel-doubling; ahash under integer gain and
+    stereo duplication; video_mhash under brightness shift and spatial
+    doubling."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 2 ** 32 - 1), st.integers(3, 24), st.integers(3, 24),
+           st.integers(1, 55))
+    def img(seed, h, w, shift):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 200, size=(h, w, 3), dtype=np.int64)  # +55 never clips
+        d = multimodal.image_dhash(a)
+        assert multimodal.image_dhash(a + shift) == d
+        assert multimodal.image_dhash(np.repeat(np.repeat(a, 2, 0), 2, 1)) == d
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 2 ** 32 - 1), st.integers(1, 500), st.integers(2, 5))
+    def aud(seed, n, gain):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-8000, 8000, size=n, dtype=np.int64)
+        d = multimodal.audio_ahash(s)
+        assert multimodal.audio_ahash(s * gain) == d
+        assert multimodal.audio_ahash(np.stack([s, s], axis=1)) == d
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, 2 ** 32 - 1), st.integers(1, 40), st.integers(2, 12),
+           st.integers(2, 12), st.integers(1, 55))
+    def vid(seed, t, h, w, shift):
+        rng = np.random.default_rng(seed)
+        f = rng.integers(0, 200, size=(t, h, w), dtype=np.int64)
+        d = multimodal.video_mhash(f)
+        assert multimodal.video_mhash(f + shift) == d
+        assert multimodal.video_mhash(np.repeat(np.repeat(f, 2, 1), 2, 2)) == d
+
+    img()
+    aud()
+    vid()
