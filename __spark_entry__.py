@@ -1351,10 +1351,13 @@ def multimodal_pipeline(spark, sf):
         ).alias("feat_digest"),
     )
     both = media.unionByName(multimodal.synthesize_twin_media(spark))
-    ph = multimodal.media_phashes(both).filter(F.col("phash").isNotNull())
+    # persist the hash frame: the returned plan references it from three
+    # branches (n_phash + both sides of the hamming self-join) and the
+    # decode pass must run ONCE, not per branch
+    ph = multimodal.media_phashes(both).filter(F.col("phash").isNotNull()).persist()
     n_phash = ph.groupBy("kind").agg(F.count("*").alias("n_phash"))
     pair_agg = multimodal.media_neardup_pairs(
-        None, max_hamming=3, phashes=ph  # one decode pass feeds both aggs
+        None, max_hamming=3, phashes=ph
     ).groupBy("kind").agg(
         F.count("*").alias("n_pairs"),
         F.md5(

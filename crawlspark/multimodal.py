@@ -659,15 +659,19 @@ def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in it:
             out: list[int | None] = []
             for p in pdf["payload"]:
-                if p is None:
+                raw = bytes(p) if p is not None else None
+                # cheap magic-byte rejection BEFORE any decode: a mixed
+                # table must not pay full WAV/Y4M decodes just to discard
+                if raw is None or not raw.startswith(_PNG_SIG):
+                    if strict and raw is not None:
+                        raise NotImplementedError(
+                            "payload is not a PNG image; install codec libs "
+                            "and extend multimodal._phash_one"
+                        )
                     out.append(None)
                     continue
                 try:
-                    algo, h = _phash_one(bytes(p))
-                    if algo != "image":
-                        raise NotImplementedError(
-                            f"payload routes to {algo}, not a decodable image"
-                        )
+                    _, h = _phash_one(raw)  # sig guarantees the image route
                 except Exception:
                     # untrusted crawled bytes: one corrupt payload must not
                     # kill the stage in the pipeline path
@@ -848,6 +852,8 @@ def media_neardup_pairs(
     from crawlspark.textops import hamming_neardup_pairs
 
     if phashes is None:
+        if media is None:
+            raise ValueError("media_neardup_pairs needs media or phashes")
         phashes = media_phashes(media)
     hashes = phashes.filter(F.col("phash").isNotNull())
     return hamming_neardup_pairs(
@@ -948,7 +954,10 @@ def synthesize_real_media(spark, n: int = 60) -> DataFrame:
 
 
 def synthesize_twin_media(
-    spark, image_ids: tuple[int, ...] = (0, 3, 6), audio_ids: tuple[int, ...] = (1, 4, 7)
+    spark,
+    image_ids: tuple[int, ...] = (0, 3, 6),
+    audio_ids: tuple[int, ...] = (1, 4, 7),
+    offset: int = 1000,
 ) -> DataFrame:
     """Perceptual twins of chosen synthesize_real_media rows, id += 1000:
     images re-encoded pixel-doubled (2× nearest upscale — safe for ANY
@@ -956,18 +965,23 @@ def synthesize_twin_media(
     re-encoded as duplicated-channel stereo — perturbations the hashes
     are PROVABLY invariant to (dHash doubling identity, ahash integer
     mono-mix), so each twin pairs with its base at hamming 0.
-    Deterministic, hence a constant the driver oracle can state."""
+    Deterministic, hence a constant the driver oracle can state.  Twin
+    ids are base id + ``offset``; the guard below keeps a large base
+    table (n > offset) from silently colliding with twin ids, which
+    would conflate distinct rows in min-id canonical picks."""
+    if any(i >= offset or i < 0 for i in (*image_ids, *audio_ids)):
+        raise ValueError(f"twin base ids must be in [0, {offset})")
     rows = []
     for i in image_ids:
         base = _real_media_row(i)
         arr = decode_png(base[3])
         payload = encode_png(np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1))
-        rows.append((1000 + i, base[1], "image", payload, "png", len(payload), 2 * base[6], 2 * base[7], base[8]))
+        rows.append((offset + i, base[1], "image", payload, "png", len(payload), 2 * base[6], 2 * base[7], base[8]))
     for i in audio_ids:
         base = _real_media_row(i)
         rate, samples = decode_wav(base[3])
         payload = encode_wav(np.repeat(samples[:, :1], 2, axis=1), rate)
-        rows.append((1000 + i, base[1], "audio", payload, "wav", len(payload), None, None, base[8]))
+        rows.append((offset + i, base[1], "audio", payload, "wav", len(payload), None, None, base[8]))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
