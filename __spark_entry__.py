@@ -1373,7 +1373,15 @@ def multimodal_pipeline(spark, sf):
             )
         ).alias("pair_digest"),
     )
-    return base.join(n_phash, "kind").join(pair_agg, "kind")
+    # Materialize the 3-row aggregate eagerly so the persisted hash frame
+    # can be unpersisted HERE (r4 advice: the shared long-lived session
+    # runs many entries; leaked cached blocks accumulate).  The decode
+    # pass still runs exactly once, shared by all three plan branches;
+    # the caller gets the same rows/schema, just pre-computed.
+    out = base.join(n_phash, "kind").join(pair_agg, "kind")
+    rows, schema = out.collect(), out.schema
+    ph.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 @_q(

@@ -73,3 +73,15 @@ class CrawlConfig:
     # (default; capping drops urls, so the replay-exact contract applies
     # only to the uncapped mode).
     max_frontier_per_host: int | None = None
+    # cheap sampled invariant checks (r4 advice on run_round's trust-based
+    # frontier_unseen flag): when on, a frontier passed with
+    # frontier_unseen=True is sample-probed against seen and any overlap
+    # raises instead of silently re-fetching.  Off by default — it adds a
+    # (sampled) shuffle per round; turn on via env while debugging a
+    # standalone caller that maintains the invariant itself.
+    debug_invariants: bool = os.environ.get("CRAWLSPARK_DEBUG_INVARIANTS", "") == "1"
+    # sample fraction the guard probes (1.0 = check every row; keep small in
+    # production debugging so the extra shuffle stays cheap)
+    debug_sample_fraction: float = float(
+        os.environ.get("CRAWLSPARK_DEBUG_SAMPLE", "0.01")
+    )

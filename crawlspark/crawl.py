@@ -175,6 +175,28 @@ def run_round(
         return dedup.unseen(df, seen)
 
     if frontier_unseen:
+        if cfg.debug_invariants:
+            # sampled guard on the trust-based flag (r4 advice): a caller
+            # whose frontier overlaps seen would silently re-fetch; here a
+            # cfg.debug_sample_fraction sample is semi-joined against seen
+            # and ANY hit raises.  limit(1) stops at the first offender.
+            join_cols = (
+                ["bucket", "url_hash"]
+                if "bucket" in frontier.columns and "bucket" in seen.columns
+                else ["url_hash"]
+            )
+            hit = (
+                frontier.sample(cfg.debug_sample_fraction, seed=round_no)
+                .join(seen.select(*join_cols), join_cols, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if hit:
+                raise AssertionError(
+                    "frontier_unseen=True but a sampled frontier row is "
+                    "already in seen — the caller's disjointness guarantee "
+                    "is violated"
+                )
         candidates = frontier
     else:
         candidates = _probe_unseen(frontier)

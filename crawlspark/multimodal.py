@@ -652,7 +652,10 @@ def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
     Decodable PNG payloads get a real dHash (the shared `_phash_one`
     router); rows whose payload routes to a DIFFERENT hash family or
     doesn't decode yield null (strict mode raises instead — same contract
-    as :func:`decode_features`).
+    as :func:`decode_features`).  Strict mode raises on NULL payloads
+    too, so ``strict=True`` truly guarantees a non-null hash per row
+    (r4 advice: the old behavior passed nulls through silently even in
+    strict mode, an asymmetry strict callers couldn't detect).
     """
 
     def _batches(it):
@@ -663,7 +666,13 @@ def image_dhashes(media: DataFrame, strict: bool = False) -> DataFrame:
                 # cheap magic-byte rejection BEFORE any decode: a mixed
                 # table must not pay full WAV/Y4M decodes just to discard
                 if raw is None or not raw.startswith(_PNG_SIG):
-                    if strict and raw is not None:
+                    if strict:
+                        if raw is None:
+                            raise ValueError(
+                                "null payload in strict mode; filter "
+                                "payload IS NOT NULL first or use "
+                                "strict=False"
+                            )
                         raise NotImplementedError(
                             "payload is not a PNG image; install codec libs "
                             "and extend multimodal._phash_one"

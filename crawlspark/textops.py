@@ -321,6 +321,12 @@ def hamming_neardup_pairs(
     )
     for pc in pcols:
         cond = cond & F.col(f"a.{pc}").eqNullSafe(F.col(f"b.{pc}"))
+    # Hamming filter BEFORE the distinct: a pair surfaced by k matching
+    # slices appears k times, so deduping first would shuffle up to
+    # n_chunks x the surviving rows (worst at large radii / low-entropy
+    # hashes).  Filtering per-candidate is a cheap codegen'd bit_count;
+    # the dedup shuffle then carries only pairs that actually survive.
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     pairs = (
         a.join(b, cond)
         .select(
@@ -330,12 +336,12 @@ def hamming_neardup_pairs(
             F.col("a._h").alias("h_a"),
             F.col("b._h").alias("h_b"),
         )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(*pcols, "id_a", "id_b", "hamming")
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select(*pcols, "id_a", "id_b", "hamming")
+    return pairs
 
 
 def simhash_neardup_pairs(

@@ -437,3 +437,41 @@ def test_frontier_unseen_flag_equivalence(spark, fixtures, tmp_path):
     assert round1(True, sidecar) == base, "fast path (bloom probe) diverged"
     assert round1(False, sidecar) == base, "entry probe path diverged"
     assert len(base[0]) > 0 and len(base[1]) > 0
+
+
+def test_frontier_unseen_debug_invariant_guard(spark, fixtures):
+    """cfg.debug_invariants=True turns the trust-based frontier_unseen flag
+    into a checked one: a frontier that OVERLAPS seen raises instead of
+    silently re-fetching (r4 advice item 4).  The test pins the sample
+    fraction to 1.0 so the hit is deterministic on a small fixture; the
+    disjoint case must stay green with the guard on."""
+    import dataclasses
+
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    cfg_dbg = dataclasses.replace(
+        CFG, debug_invariants=True, debug_sample_fraction=1.0
+    )
+    fr0 = crawl._materialize(
+        crawl.seeds_to_frontier(seeds_df, cfg_dbg.n_buckets), cfg_dbg.persist_mode
+    )
+    seen0 = spark.createDataFrame([], "url_hash long, bucket int")
+    # disjoint: guard on, empty seen — must run clean
+    r0 = crawl.run_round(
+        spark, fr0, seen0, pages_df, robots_df, 0, cfg_dbg, None, "dbg",
+        collect_metrics=False, frontier_unseen=True,
+    )
+    seen1 = crawl._materialize(r0["seen"], cfg_dbg.persist_mode)
+    assert seen1.count() > 0
+    # violation: replay the ORIGINAL frontier (now fully inside seen1)
+    # with the unseen claim — every sampled row is an offender
+    with pytest.raises(Exception, match="frontier_unseen"):
+        crawl.run_round(
+            spark, fr0, seen1, pages_df, robots_df, 1, cfg_dbg, None, "dbg",
+            collect_metrics=False, frontier_unseen=True,
+        )
+    # guard off (default): same violating call is trusted and runs
+    out = crawl.run_round(
+        spark, fr0, seen1, pages_df, robots_df, 1, CFG, None, "dbg",
+        collect_metrics=False, frontier_unseen=True,
+    )
+    assert out["fetch_log"].count() > 0

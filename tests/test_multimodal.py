@@ -339,6 +339,18 @@ def test_image_neardup_pairs_planted(spark):
     with pytest.raises(Exception):
         multimodal.image_dhashes(media, strict=True).collect()
 
+    # r5: strict also rejects NULL payloads — strict=True now guarantees a
+    # non-null hash per surviving row (was: nulls passed through silently)
+    null_media = spark.createDataFrame(
+        [(950, None, "image", None, "png", None, 2, 2, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        multimodal.image_dhashes(null_media, strict=True).collect()
+    # non-strict keeps the pass-through-null contract
+    got_null = multimodal.image_dhashes(null_media).collect()
+    assert len(got_null) == 1 and got_null[0]["dhash"] is None
+
 
 def test_audio_video_phash_invariances():
     import numpy as np

@@ -51,3 +51,31 @@ def test_all_registered_queries_scalar_schema(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex top-level columns would crash the driver: {offenders}"
+
+
+def test_survey_map_keys_all_registered():
+    """r4 verdict item 9: SURVEY §2.0 is the only place the 50-key mapping
+    lives — parse its table and assert every backticked query key in the
+    'query key' column exists in queries(), so a future registry merge
+    can't silently orphan a §2 row.  Also pins the registry at exactly 50
+    (the driver checks the FIRST 50; entry 51+ would be invisible)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert len(qs) == 50, f"registry must stay at exactly 50 keys, got {len(qs)}"
+
+    survey = open("/root/repo/SURVEY.md").read()
+    start = survey.index("§2.0 Fixture-query map")
+    end = survey.index("**Round-2 additions", start)
+    section = survey[start:end]
+    mapped = set()
+    for line in section.splitlines():
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 2 or cells[0] in ("§2 rows", "---", ""):
+            continue
+        mapped.update(re.findall(r"`([a-z0-9_]+)`", cells[1]))
+    assert mapped, "failed to parse any keys from SURVEY §2.0 map"
+    missing = sorted(mapped - set(qs))
+    assert not missing, f"SURVEY §2.0 maps keys absent from queries(): {missing}"
