@@ -1295,12 +1295,19 @@ def ann_lsh(spark, sf):
     "multimodal_pipeline",
     """SELECT * FROM (VALUES
          ('audio', CAST(33 AS BIGINT), '0952d504942c7aa90d61b7b630f217c7',
-          CAST(36 AS BIGINT), CAST(3 AS BIGINT), '842aadac8cc6df427cec22ec7d72c52a'),
+          CAST(36 AS BIGINT), CAST(3 AS BIGINT), '842aadac8cc6df427cec22ec7d72c52a',
+          CAST(3 AS BIGINT), 'a6cd9de64bcb019943040a37b7972121',
+          CAST(33 AS BIGINT), '550fed03f6b347d8b58424396932d8b7'),
          ('image', CAST(33 AS BIGINT), 'b6c563a6422bfe555ce54b55315d7409',
-          CAST(36 AS BIGINT), CAST(3 AS BIGINT), 'cdf195bfca47acb9d6680ab7b375ab85'),
+          CAST(36 AS BIGINT), CAST(3 AS BIGINT), 'cdf195bfca47acb9d6680ab7b375ab85',
+          CAST(3 AS BIGINT), '37b5fbb5e01103fead07fcda183d3726',
+          CAST(33 AS BIGINT), '7641fa90e292a2d51997b4d1db11eae3'),
          ('video', CAST(33 AS BIGINT), 'efbcabea4f1ff104edf66935c14da187',
-          CAST(23 AS BIGINT), CAST(175 AS BIGINT), '2d469e6452cdbccba17d25fdf263523f')
-       ) AS t(kind, n, feat_digest, n_phash, n_pairs, pair_digest)""",
+          CAST(23 AS BIGINT), CAST(175 AS BIGINT), '2d469e6452cdbccba17d25fdf263523f',
+          CAST(1 AS BIGINT), '0a56cbb4810be123cc645ad8b38372f6',
+          CAST(11 AS BIGINT), '1896f4c314b389385da0cb78b8b3288a')
+       ) AS t(kind, n, feat_digest, n_phash, n_pairs, pair_digest,
+              n_clusters, cluster_digest, n_dedup, dedup_digest)""",
 )
 def multimodal_pipeline(spark, sf):
     """Multimodal end-to-end: typed metadata projection joined to
@@ -1320,7 +1327,15 @@ def multimodal_pipeline(spark, sf):
     count and the ordered media_neardup_pairs list digest per kind.  The
     6 planted twins pair at hamming 0; the 175 video pairs are REAL
     collisions — the synthesized moving-square clips are near-identical
-    content, which is exactly what a coarse perceptual hash reports."""
+    content, which is exactly what a coarse perceptual hash reports.
+
+    r5 (verdict item 2) extends the digest to the CLUSTER COLLAPSE: per
+    kind, the connected-components membership (n_clusters + ordered
+    (canonical_id, member_id) digest — component labels are min node ids,
+    the same canonical rule neardup_dedup applies) and media_dedup's
+    actual survivor set (n_dedup + ordered surviving-media_id digest:
+    audio/image 36→33 as each planted twin collapses, video 33→11 as the
+    one 23-clip near-identical cluster keeps a single canonical)."""
     from crawlspark import multimodal
 
     media = multimodal.synthesize_real_media(spark, 99)
@@ -1351,14 +1366,13 @@ def multimodal_pipeline(spark, sf):
         ).alias("feat_digest"),
     )
     both = media.unionByName(multimodal.synthesize_twin_media(spark))
-    # persist the hash frame: the returned plan references it from three
-    # branches (n_phash + both sides of the hamming self-join) and the
-    # decode pass must run ONCE, not per branch
+    # persist the hash frame: the returned plan references it from several
+    # branches (n_phash + both sides of the hamming self-join + the
+    # cluster collapse) and the decode pass must run ONCE, not per branch
     ph = multimodal.media_phashes(both).filter(F.col("phash").isNotNull()).persist()
     n_phash = ph.groupBy("kind").agg(F.count("*").alias("n_phash"))
-    pair_agg = multimodal.media_neardup_pairs(
-        None, max_hamming=3, phashes=ph
-    ).groupBy("kind").agg(
+    pairs = multimodal.media_neardup_pairs(None, max_hamming=3, phashes=ph)
+    pair_agg = pairs.groupBy("kind").agg(
         F.count("*").alias("n_pairs"),
         F.md5(
             F.concat_ws(
@@ -1373,12 +1387,59 @@ def multimodal_pipeline(spark, sf):
             )
         ).alias("pair_digest"),
     )
+    # r5 (verdict item 2): oracle the media_dedup CLUSTER COLLAPSE, not
+    # just the pairs.  connected_components labels every component with
+    # its min node id — exactly neardup_dedup's canonical pick with no
+    # quality column — so (component, node) IS the (canonical_id,
+    # member_id) membership; n_clusters + its ordered digest pin the CC
+    # step, and n_dedup + the surviving-media_id digest pin media_dedup's
+    # actual output (untouched rows ∪ one canonical per cluster).
+    from crawlspark import graph
+
+    memb = graph.connected_components(pairs).join(
+        ph.select(F.col("media_id").alias("node"), "kind"), "node"
+    )
+    cluster_agg = memb.groupBy("kind").agg(
+        F.count_distinct("component").alias("n_clusters"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("component", "node"))),
+                    lambda s: F.concat_ws(
+                        ":", s["component"].cast("string"), s["node"].cast("string")
+                    ),
+                ),
+            )
+        ).alias("cluster_digest"),
+    )
+    dedup_agg = (
+        multimodal.media_dedup(both, max_hamming=3, phashes=ph)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_dedup"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("media_id"))),
+                        lambda s: s["media_id"].cast("string"),
+                    ),
+                )
+            ).alias("dedup_digest"),
+        )
+    )
     # Materialize the 3-row aggregate eagerly so the persisted hash frame
     # can be unpersisted HERE (r4 advice: the shared long-lived session
     # runs many entries; leaked cached blocks accumulate).  The decode
-    # pass still runs exactly once, shared by all three plan branches;
-    # the caller gets the same rows/schema, just pre-computed.
-    out = base.join(n_phash, "kind").join(pair_agg, "kind")
+    # pass still runs exactly once, shared by all plan branches; the
+    # caller gets the same rows/schema, just pre-computed.
+    out = (
+        base.join(n_phash, "kind")
+        .join(pair_agg, "kind")
+        .join(cluster_agg, "kind")
+        .join(dedup_agg, "kind")
+    )
     rows, schema = out.collect(), out.schema
     ph.unpersist()
     return spark.createDataFrame(rows, schema)

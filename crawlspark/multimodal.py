@@ -876,16 +876,23 @@ def media_neardup_pairs(
 
 
 def media_dedup(
-    media: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    phashes: DataFrame | None = None,
 ) -> DataFrame:
     """One row per perceptual cluster: :func:`media_neardup_pairs` →
     ``textops.neardup_dedup`` (large-star/small-star connected
     components, min-media_id canonical pick, unpaired rows pass
     through untouched) — the media twin of MinHash/SimHash cluster
-    dedup, same O(log² n)-round machinery."""
+    dedup, same O(log² n)-round machinery.  Pass ``phashes`` (a
+    :func:`media_phashes` result, ideally persisted) to skip the
+    decode pass — same contract as :func:`media_neardup_pairs`."""
     from crawlspark.textops import neardup_dedup
 
-    pairs = media_neardup_pairs(media, max_hamming=max_hamming, n_chunks=n_chunks)
+    pairs = media_neardup_pairs(
+        media, max_hamming=max_hamming, n_chunks=n_chunks, phashes=phashes
+    )
     return neardup_dedup(media, pairs, id_col="media_id")
 
 
