@@ -161,10 +161,18 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return textops.clean_corpus(docs, langs=["en"])
 
+    def _clean_corpus_strip(spark, sf_dir):
+        # r5: the full modern pipeline — same stages plus the Lee-et-al.
+        # exact-substring strip over the survivor set; benched separately
+        # so the strip stage's cost at sf0.1 is a recorded delta
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return textops.clean_corpus(docs, langs=["en"], strip_spans=True)
+
     qs = dict(entrymod.queries())
     # flagship composite (lang → quality/repetition → exact dedup → MinHash
     # cluster dedup); not a registry entry (50-entry driver window is full)
     qs["clean_corpus"] = _clean_corpus
+    qs["clean_corpus_strip"] = _clean_corpus_strip
     names = [
         "agg_basic",
         "join_equi",
@@ -175,6 +183,7 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
         "fingerprint",
         "lang_id",
         "clean_corpus",
+        "clean_corpus_strip",
     ]
     out: dict[str, float] = {}
     for _rep in range(max(reps, 1)):

@@ -1091,6 +1091,9 @@ def clean_corpus(
     max_top_bigram_char_frac: float = 0.2,
     minhash_threshold: float = 0.7,
     cache_handle: list | None = None,
+    strip_spans: bool = False,
+    strip_k: int = 16,
+    strip_min_docs: int = 2,
 ) -> DataFrame:
     """The headline documents → training-corpus pipeline, composed from
     the individual operators in their scale-correct order (cheapest filter
@@ -1102,7 +1105,15 @@ def clean_corpus(
        :func:`repetition_stats` thresholds — Gopher-style);
     3. exact dedup (one hash-aggregate, :func:`exact_dedup`);
     4. MinHash near-dup clusters collapsed to their best-quality canonical
-       document (:func:`minhash_dedup_pairs` → :func:`neardup_dedup`).
+       document (:func:`minhash_dedup_pairs` → :func:`neardup_dedup`);
+    5. opt-in (``strip_spans=True``, r4 verdict item 5): exact-substring
+       strip over the SURVIVOR set — :func:`duplicate_ngram_spans` at
+       ``strip_k``/``strip_min_docs`` → :func:`strip_duplicate_spans` —
+       the Lee-et-al. stage modern pipelines run after whole-doc dedup
+       (cross-doc boilerplate passages survive near-dup dedup because the
+       surrounding documents differ; only a substring-level pass removes
+       them).  Running it last keeps the expensive positioned-gram
+       explode on the smallest corpus.
 
     Returns the surviving documents with ``pred_lang``, ``quality``, and
     the repetition fractions attached (downstream :func:`pack_corpus` uses
@@ -1143,7 +1154,19 @@ def clean_corpus(
     if cache_handle is not None:
         cache_handle.append(base)
     pairs = minhash_dedup_pairs(base, id_col, text_col, threshold=minhash_threshold)
-    return neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")
+    result = neardup_dedup(base, pairs, id_col=id_col, quality_col="quality")
+    if strip_spans:
+        # the survivor set feeds two branches again (span mining + the
+        # rebuild join), so it gets the same persist treatment as `base`
+        result = result.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(result)
+        spans = duplicate_ngram_spans(
+            result, k=strip_k, min_docs=strip_min_docs,
+            id_col=id_col, text_col=text_col,
+        )
+        result = strip_duplicate_spans(result, spans, id_col=id_col, text_col=text_col)
+    return result
 
 
 def pack_sequences(

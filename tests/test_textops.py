@@ -767,3 +767,51 @@ def test_hamming_partition_cols_null_safe(spark):
         ).collect()
     }
     assert got == {(None, 0, 1)}
+
+
+def test_clean_corpus_strip_spans(spark):
+    """clean_corpus(strip_spans=True) — the full modern pipeline with the
+    Lee-et-al. exact-substring strip as the final stage (r4 verdict item
+    5).  Oracle: composition equivalence against the standalone ops (each
+    already brute-force/python-oracled) applied to the strip_spans=False
+    survivor set, plus a python-computed expected text for the planted
+    duplicated passage."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    uniq = [
+        "the quick brown fox jumped over a lazy dog near the river bank "
+        "while children played in the warm afternoon light of summer",
+        "distant mountains rose above the valley floor where farmers "
+        "tended their fields and traders walked the old stone road home",
+        "a ship sailed past the harbor wall as gulls circled overhead "
+        "and fishermen hauled their heavy nets onto the wooden pier",
+    ]
+    docs = [
+        (i + 1, f"{u} {passage} close{i} words{i} tail{i}")
+        for i, u in enumerate(uniq)
+    ]
+    docs.append((4, "short"))  # fails quality, never reaches the strip
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    kwargs = dict(langs=["en"], min_quality=0.2, minhash_threshold=0.9)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textops.clean_corpus(
+            df, strip_spans=True, strip_k=8, strip_min_docs=2, **kwargs
+        ).collect()
+    }
+
+    # composition oracle: standalone spans+strip over the no-strip survivors
+    survivors = textops.clean_corpus(df, **kwargs)
+    spans = textops.duplicate_ngram_spans(survivors, k=8, min_docs=2)
+    expect = {
+        r["doc_id"]: r["text"]
+        for r in textops.strip_duplicate_spans(survivors, spans).collect()
+    }
+    assert out == expect
+
+    # python oracle for the planted passage: docs 1-3 survive (distinct
+    # content, good quality) and each loses exactly the 8-word passage
+    assert set(out) == {1, 2, 3}
+    for i, u in enumerate(uniq):
+        assert out[i + 1] == f"{u} close{i} words{i} tail{i}"
+        assert passage not in out[i + 1]
