@@ -18,12 +18,23 @@ regenerate identical data.  Layout per FIXTURES.md:
 from __future__ import annotations
 
 import hashlib
+import os
 from datetime import datetime, timedelta, timezone
 
 SEED = 42
 N_HOSTS = 20
 LANGS = ["en", "fr", "es", "zh", "de"]
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+# Skew knob for the r5 skew bench (tools/skew_bench.py): when set, host0
+# holds this PERCENT of pages instead of the default ~30%.  Read from the
+# environment at import time so Spark's forked Python workers (which
+# re-import this module) see the same value as the driver — set it BEFORE
+# the first SparkSession launch.  When UNSET the original `% 10 < 3`
+# formula is used, keeping every existing fixture, golden, and the pinned
+# bench constant n_fetched = 682,032 bit-identical (the `% 100` variant
+# buckets the hash differently even at 30).
+_MEGA_PCT = os.environ.get("CRAWLSPARK_MEGA_PCT")
 
 
 def _h(*parts) -> int:
@@ -32,7 +43,11 @@ def _h(*parts) -> int:
 
 
 def host_of(i: int) -> str:
-    if _h(i, "host") % 10 < 3:
+    if _MEGA_PCT is None:
+        mega = _h(i, "host") % 10 < 3
+    else:
+        mega = _h(i, "host") % 100 < int(_MEGA_PCT)
+    if mega:
         return "host0.example"
     return f"host{1 + _h(i, 'host2') % (N_HOSTS - 1)}.example"
 
