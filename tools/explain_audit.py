@@ -268,6 +268,35 @@ def main() -> int:
         failures.append("blocklist: cartesian")
     sections.append(("urlfilter.apply_host_blocklist", pbl, checks10))
 
+    # r5: the exact-substring strip stage (duplicate_ngram_spans +
+    # strip_duplicate_spans, now also the clean_corpus strip_spans=True
+    # tail) must stay pure built-ins — the positioned-gram explode, the
+    # hot-gram semi-join, the interval-merge window, and the row-side
+    # higher-order rebuild are all JVM expressions by design
+    from crawlspark import textops
+
+    docs_small = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r"),
+         (2, "a b c d e f g h i j k l m n o p q r")],
+        "doc_id long, text string",
+    )
+    spans = textops.duplicate_ngram_spans(docs_small, k=8)
+    pstrip = plan_of(textops.strip_duplicate_spans(docs_small, spans))
+    checks11 = []
+    ok = "ArrowEvalPython" not in pstrip and "BatchEvalPython" not in pstrip
+    checks11.append(
+        f"{'OK' if ok else 'FAIL'} exact-substring spans + strip: all built-ins — no Python in plan"
+    )
+    if not ok:
+        failures.append("strip_duplicate_spans: python in plan")
+    ok = "CartesianProduct" not in pstrip and "BroadcastNestedLoopJoin" not in pstrip
+    checks11.append(f"{'OK' if ok else 'FAIL'} no cartesian / nested-loop join")
+    if not ok:
+        failures.append("strip_duplicate_spans: cartesian")
+    sections.append(
+        ("textops.duplicate_ngram_spans -> strip_duplicate_spans", pstrip, checks11)
+    )
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         f.write("# Physical-plan audit (tools/explain_audit.py)\n\n")
