@@ -10,11 +10,13 @@ design claim with no measured artifact until this run.  The experiment:
 * the FULL crawl (same config as bench.py's headline: politeness budget
   wide open, so the scheduler's per-(host, salt) applyInPandas slice sees
   the whole frontier share of its host) at local[CORES], salt ∈ {8, 1};
-* a schedule-stage micro-bench on a synthetic ROWS-row frontier with the
-  same host split, isolating the salted priority-queue stage where the
-  skew actually lands (phase-2's per-host window is JVM-side row_number —
-  cheap even unsalted; the Arrow transfer + pandas sort of one mega slice
-  is the Python-side cost salt bounds);
+* a schedule-stage micro-bench on synthetic frontiers at TWO row counts
+  (SCHED_ROWS_LEVELS, default 4M and 16M) with the same host split,
+  isolating the salted priority-queue stage where the skew actually lands
+  (phase-2's per-host window is JVM-side row_number — cheap even unsalted;
+  the Arrow transfer + pandas sort of one mega slice is the Python-side
+  cost salt bounds).  Two levels show the trend: the unsalted mega slice
+  grows with the frontier, the salted one is bounded at rows*pct/salt;
 * replay identity: the fetch_log (round, sched_ts, host, url) digest must be
   IDENTICAL across salt configs on the same corpus — salting is a physical
   plan choice, never a semantic one.
@@ -51,7 +53,12 @@ SEEDS = int(os.environ.get("CRAWLSPARK_SKEW_SEEDS", "150000"))
 ROUNDS = int(os.environ.get("CRAWLSPARK_SKEW_ROUNDS", "2"))
 CORES = int(os.environ.get("CRAWLSPARK_SKEW_CORES", "16"))
 REPS = int(os.environ.get("CRAWLSPARK_SKEW_REPS", "2"))
-SCHED_ROWS = int(os.environ.get("CRAWLSPARK_SKEW_SCHED_ROWS", "4000000"))
+SCHED_ROWS_LEVELS = [
+    int(x)
+    for x in os.environ.get(
+        "CRAWLSPARK_SKEW_SCHED_ROWS", "4000000,16000000"
+    ).split(",")
+]
 OUT = os.path.join(_ROOT, "BENCH", "skew_r5.json")
 
 
@@ -144,15 +151,18 @@ def worker_crawl(pct: int, salt: int) -> None:
                       "fetch_digest": digest}))
 
 
-def worker_sched(pct: int, salt: int) -> None:
-    """Isolated schedule stage on a synthetic frontier: ROWS rows, pct% on
-    one mega-host, priority-queue budget wide open."""
+def worker_sched(pct: int, salt: int, rows: int) -> None:
+    """Isolated schedule stage on a synthetic frontier: ``rows`` rows, pct%
+    on one mega-host, priority-queue budget wide open.  Run at more than one
+    ``rows`` level: the unsalted mega slice is one pandas sort (n log n) plus
+    one Arrow transfer, so its wall grows superlinearly with the frontier
+    while the salted variant's biggest slice stays rows*pct/salt."""
     from pyspark.sql import functions as F
 
     from crawlspark import sched
 
     spark = _spark(CORES)
-    frontier = spark.range(SCHED_ROWS).select(
+    frontier = spark.range(rows).select(
         F.when(
             F.pmod(F.xxhash64(F.col("id")), 100) < pct, F.lit("host0.example")
         )
@@ -190,15 +200,17 @@ def worker_sched(pct: int, salt: int) -> None:
             best = wall
     spark.stop()
     print(json.dumps({"mode": "sched", "pct": pct, "salt": salt,
-                      "cores": CORES, "rows": SCHED_ROWS,
+                      "cores": CORES, "rows": rows,
                       "wall_sec": round(best, 2)}))
 
 
-def _run_worker(mode: str, pct: int, salt: int) -> dict:
+def _run_worker(mode: str, pct: int, salt: int, rows: int = 0) -> dict:
     env = {**os.environ, "CRAWLSPARK_MEGA_PCT": str(pct)}
+    argv = [sys.executable, os.path.abspath(__file__), mode, str(pct), str(salt)]
+    if mode == "--sched":
+        argv.append(str(rows))
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), mode, str(pct), str(salt)],
-        env=env, capture_output=True, text=True, timeout=3600,
+        argv, env=env, capture_output=True, text=True, timeout=3600,
     )
     sys.stderr.write(proc.stderr[-2000:])
     if proc.returncode != 0:
@@ -212,22 +224,34 @@ def main() -> None:
         if mode == "--crawl":
             worker_crawl(pct, salt)
         elif mode == "--sched":
-            worker_sched(pct, salt)
+            worker_sched(pct, salt, int(sys.argv[4]))
         else:
             raise SystemExit(f"unknown mode {mode}")
         return
 
+    # Reuse cells already measured in a previous run of this tool (same
+    # HEAD): crawl cells are minutes each, sched cells seconds.  Delete
+    # BENCH/skew_r5.json to force a full re-measure.
     cells = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            cells = dict(json.load(f).get("cells", {}))
     for pct in (5, 50):
         for salt in (8, 1):
             key = f"crawl_pct{pct}_salt{salt}"
-            cells[key] = _run_worker("--crawl", pct, salt)
+            if key not in cells:
+                cells[key] = _run_worker("--crawl", pct, salt)
             print(f"{key}: {cells[key]}", file=sys.stderr)
-    for pct in (5, 50):
-        for salt in (8, 1):
-            key = f"sched_pct{pct}_salt{salt}"
-            cells[key] = _run_worker("--sched", pct, salt)
-            print(f"{key}: {cells[key]}", file=sys.stderr)
+    for rows in SCHED_ROWS_LEVELS:
+        for pct in (5, 50):
+            for salt in (8, 1):
+                key = f"sched_pct{pct}_salt{salt}_rows{rows // 1_000_000}m"
+                if key not in cells:
+                    cells[key] = _run_worker("--sched", pct, salt, rows)
+                print(f"{key}: {cells[key]}", file=sys.stderr)
+    # drop pre-sweep unsuffixed sched keys from an older artifact
+    cells = {k: v for k, v in cells.items()
+             if not (k.startswith("sched_") and not k.rsplit("_", 1)[-1].endswith("m"))}
 
     replay_identical = {
         str(pct): (
@@ -240,7 +264,7 @@ def main() -> None:
         "metric": "skew resilience: crawl wall + schedule-stage wall, "
                   "mega-host 50% vs uniform, salt 8 vs 1",
         "pages": PAGES, "seeds": SEEDS, "rounds": ROUNDS, "cores": CORES,
-        "reps_min": REPS, "sched_rows": SCHED_ROWS,
+        "reps_min": REPS, "sched_rows_levels": SCHED_ROWS_LEVELS,
         "cells": cells,
         "skew_over_uniform_salted": round(
             cells["crawl_pct50_salt8"]["wall_sec"]
@@ -250,10 +274,14 @@ def main() -> None:
             cells["crawl_pct50_salt1"]["wall_sec"]
             / cells["crawl_pct50_salt8"]["wall_sec"], 3
         ),
-        "sched_salt1_over_salt8_on_skew": round(
-            cells["sched_pct50_salt1"]["wall_sec"]
-            / cells["sched_pct50_salt8"]["wall_sec"], 3
-        ),
+        "sched_salt1_over_salt8_on_skew": {
+            f"{rows // 1_000_000}m": round(
+                cells[f"sched_pct50_salt1_rows{rows // 1_000_000}m"]["wall_sec"]
+                / cells[f"sched_pct50_salt8_rows{rows // 1_000_000}m"]["wall_sec"],
+                3,
+            )
+            for rows in SCHED_ROWS_LEVELS
+        },
         "replay_identical_across_salt": replay_identical,
     }
     with open(OUT, "w") as f:
