@@ -91,19 +91,52 @@ def parse_warc_stream(data: bytes):
                 }
 
 
+#: feed sizes for the per-member decompressor loop below.  Each member
+#: starts at the MIN feed and doubles up to MAX while it keeps going, so
+#: zlib's per-member ``unused_data`` tail copy is ~8 KB for tiny members
+#: (Common Crawl: one gzip member per page) while multi-MB members still
+#: stream at 1 MB a feed.  Total decode is O(total bytes) — the naive
+#: ``d.decompress(data[pos:])`` loop copied the whole remaining archive
+#: twice per member, O(members x bytes), turning one 80k-member archive
+#: into ~50 min of pure memcpy (measured r5; see BENCH/warc_r5.json).
+_GUNZIP_CHUNK_MIN = 8 << 10
+_GUNZIP_CHUNK = 1 << 20
+
+
 def _maybe_gunzip(data: bytes) -> bytes:
-    """Decode concatenated gzip members (the .warc.gz layout) or pass through."""
+    """Decode concatenated gzip members (the .warc.gz layout) or pass through.
+
+    Tolerant on purpose: a truncated or corrupt trailing member keeps
+    everything decoded before it (``read_warc`` relies on this to salvage
+    the prefix of a damaged archive), so this cannot be a plain
+    ``gzip.decompress`` — that raises and loses the prefix.
+    """
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = []
+    view = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            break
-        pos += consumed
+        mpos = pos
+        feed = _GUNZIP_CHUNK_MIN
+        try:
+            while mpos < n:
+                chunk = view[mpos : mpos + feed]
+                out.append(d.decompress(chunk))
+                mpos += len(chunk)
+                if d.eof:
+                    # member ended inside this chunk; unused_data is the
+                    # (bounded, <= feed-size) leftover of the NEXT member
+                    mpos -= len(d.unused_data)
+                    break
+                feed = min(feed * 2, _GUNZIP_CHUNK)
+        except zlib.error:
+            break  # corrupt member: keep what already decoded
+        if not d.eof or mpos <= pos:
+            break  # truncated final member / no forward progress
+        pos = mpos
     return b"".join(out)
 
 

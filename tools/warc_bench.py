@@ -40,7 +40,11 @@ os.environ["PYTHONPATH"] = (
 
 N_FILES = int(os.environ.get("CRAWLSPARK_WARC_FILES", "64"))
 RECS_PER_FILE = int(os.environ.get("CRAWLSPARK_WARC_RECS", "4000"))
-JUMBO_RECS = int(os.environ.get("CRAWLSPARK_WARC_JUMBO_RECS", "80000"))
+# GB-class decoded: after the r5 linear-time gunzip fix an 80k-record
+# (40 MB) jumbo parses in ~2 s single-task — too small for sub-file
+# splitting to matter.  640k records (~325 MB compressed / ~1.7 GB
+# decoded) is where one-task-per-archive visibly serializes the stage.
+JUMBO_RECS = int(os.environ.get("CRAWLSPARK_WARC_JUMBO_RECS", "640000"))
 CORES = int(os.environ.get("CRAWLSPARK_WARC_CORES", "16"))
 REPS = int(os.environ.get("CRAWLSPARK_WARC_REPS", "3"))
 SPLIT_MB = float(os.environ.get("CRAWLSPARK_WARC_SPLIT_MB", "4"))
@@ -64,25 +68,55 @@ def _write_one(args) -> list[tuple[str, int, int]]:
 
 
 def _ensure_corpus(tag: str, n_files: int, recs_per_file: int) -> tuple[str, str]:
-    """Generate the archive set once; returns (dir, index parquet path)."""
-    d = os.path.join(DATA, f"warc_{tag}")
-    idx_path = os.path.join(DATA, f"warc_{tag}_index.json")
+    """Generate the archive set once (size-keyed cache); returns
+    (dir, index json path).
+
+    A single jumbo archive is generated as 16 part-files in the process
+    pool and byte-concatenated — gzip members are independently
+    concatenable, so the result is one valid multi-member .warc.gz and
+    each part's offset index just shifts by the part's base offset."""
+    d = os.path.join(DATA, f"warc_{tag}_{n_files}x{recs_per_file}")
+    idx_path = d + "_index.json"
     if os.path.exists(idx_path):
         return d, idx_path
     os.makedirs(d, exist_ok=True)
     n_pages = n_files * recs_per_file
-    jobs = [
-        (os.path.join(d, f"seg{k:05d}.warc.gz"), k * recs_per_file,
-         (k + 1) * recs_per_file, n_pages)
-        for k in range(n_files)
-    ]
     t0 = time.monotonic()
-    with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
-        indexes = list(ex.map(_write_one, jobs))
     rows = []
-    for (path, _lo, _hi, _n), idx in zip(jobs, indexes):
-        fname = os.path.basename(path)
-        rows.extend((fname, off, ln) for (_u, off, ln) in idx)
+    if n_files == 1:
+        parts = 16
+        per = (recs_per_file + parts - 1) // parts
+        jobs = [
+            (os.path.join(d, f".part{k:02d}"), k * per,
+             min((k + 1) * per, recs_per_file), n_pages)
+            for k in range(parts) if k * per < recs_per_file
+        ]
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+            indexes = list(ex.map(_write_one, jobs))
+        final = os.path.join(d, "seg00000.warc.gz")
+        base = 0
+        with open(final, "wb") as out_f:
+            for (path, _lo, _hi, _n), idx in zip(jobs, indexes):
+                with open(path, "rb") as pf:
+                    blob = pf.read()
+                out_f.write(blob)
+                rows.extend(
+                    ("seg00000.warc.gz", base + off, ln)
+                    for (_u, off, ln) in idx
+                )
+                base += len(blob)
+                os.unlink(path)
+    else:
+        jobs = [
+            (os.path.join(d, f"seg{k:05d}.warc.gz"), k * recs_per_file,
+             (k + 1) * recs_per_file, n_pages)
+            for k in range(n_files)
+        ]
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+            indexes = list(ex.map(_write_one, jobs))
+        for (path, _lo, _hi, _n), idx in zip(jobs, indexes):
+            fname = os.path.basename(path)
+            rows.extend((fname, off, ln) for (_u, off, ln) in idx)
     with open(idx_path, "w") as f:
         json.dump(rows, f)
     print(f"generated {tag}: {n_files} files x {recs_per_file} recs "
