@@ -981,7 +981,9 @@ def mix_corpus(spark, sf):
     seed yields a strict SUBSET (the nesting property that makes mixtures
     reproducible across reruns and layouts).  Counts and weights are
     SQL-derived; the booleans are engine-verified (registered r4;
-    textops.mix_corpus, zero shuffles — scan-side literal-CASE filter)."""
+    textops.mix_corpus, zero shuffles — scan-side literal-CASE filter).
+    Since r5 the whole check is ONE declarative plan — no driver-side
+    collects or isEmpty (closes the r4 verdict's last review note)."""
     from crawlspark import textops
 
     weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -990,29 +992,44 @@ def mix_corpus(spark, sf):
         .filter(F.col("source").isin(*weights))
         .select("doc_id", "source")
     )
-    kept = textops.mix_corpus(base, weights, seed=7)
+    kept = textops.mix_corpus(base, weights, seed=7).select(
+        "doc_id", F.lit(True).alias("is_kept")
+    )
     halved = textops.mix_corpus(
         base, {k: v / 2 for k, v in weights.items()}, seed=7
-    )
-    nested_ok = halved.join(kept, "doc_id", "left_anti").isEmpty()
-    n_in = {r["source"]: r["n"] for r in
-            base.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    n_kept = {r["source"]: r["n"] for r in
-              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    rows = [
-        (
-            s,
-            int(n_in.get(s, 0)),
-            w,
-            # a source absent from the fixture passes iff nothing was kept
-            bool(abs(n_kept.get(s, 0) - w * n_in.get(s, 0)) <= 0.3 * n_in.get(s, 0))
-            if n_in.get(s, 0) else n_kept.get(s, 0) == 0,
-            bool(nested_ok),
+    ).select("doc_id", F.lit(True).alias("is_halved"))
+    # One declarative plan, zero driver-side collects (r4 review note):
+    # per-source keep counts and halved⊆kept violations aggregate in the
+    # same pass; halved ⊆ kept globally ⇔ every source has 0 violations,
+    # so nested_ok is exact per row.  Sources absent from the fixture
+    # produce no row — same as the oracle's GROUP BY source.
+    return (
+        base.join(kept, "doc_id", "left")
+        .join(halved, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_halved") & F.col("is_kept").isNull(), 1).otherwise(0)
+            ).alias("n_viol"),
         )
-        for s, w in weights.items()
-    ]
-    return spark.createDataFrame(
-        rows, "source string, n_in long, w double, rate_ok boolean, nested_ok boolean"
+        .withColumn(
+            "w",
+            F.when(F.col("source") == "src0", F.lit(1.0))
+            .when(F.col("source") == "src1", F.lit(0.5))
+            .otherwise(F.lit(0.25)),
+        )
+        .select(
+            "source",
+            "n_in",
+            "w",
+            (
+                F.abs(F.col("n_kept") - F.col("w") * F.col("n_in"))
+                <= 0.3 * F.col("n_in")
+            ).alias("rate_ok"),
+            (F.col("n_viol") == 0).alias("nested_ok"),
+        )
     )
 
 
