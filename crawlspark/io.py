@@ -17,15 +17,22 @@ from .schemas import PAGES_SCHEMA, SEED_SCHEMA
 ICEBERG = "iceberg"
 
 
-def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    warc_split_mb: float | None = None,
+) -> DataFrame:
     """A1: page-corpus scan.  Columns are pruned by Catalyst downstream;
-    callers should select() before joining so `html` never moves early."""
+    callers should select() before joining so `html` never moves early.
+    ``warc_split_mb`` (fmt="warc" only) fans a jumbo archive out across
+    executors without a CDX index — see :func:`crawlspark.warc.read_warc`."""
     if fmt == ICEBERG:
         return spark.read.format(ICEBERG).load(path)
     if fmt == "warc":
         from . import warc
 
-        return warc.read_warc(spark, path)
+        return warc.read_warc(spark, path, split_mb=warc_split_mb)
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

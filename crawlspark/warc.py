@@ -140,7 +140,95 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _scan_gz_members(f, start: int, end: int):
+    """Yield the decoded bytes of every gzip member whose FIRST byte lies
+    in ``[start, end)`` of the open binary file ``f`` — the index-free
+    split primitive behind ``read_warc(split_mb=)``.
+
+    gzip members carry no length prefix, so an arbitrary byte range can't
+    be decoded blind; instead each range scans its window for the member
+    magic ``1f 8b 08`` and VALIDATES every candidate by decoding: a
+    candidate is claimed only if its stream inflates cleanly from that
+    offset AND the plaintext starts with ``WARC/`` (every member of a
+    ``.warc.gz`` begins with a record header).  A stray ``1f 8b 08``
+    inside some member's compressed payload fails one of the two checks
+    and is skipped (expected ~once per 16 MB of compressed data — each
+    rejected candidate costs at most one small inflate attempt).  Members
+    are claimed by their start offset, so consecutive ranges partition
+    the archive exactly: a member straddling ``end`` belongs to THIS
+    range (the read continues past ``end`` to finish it, after which the
+    scan stops), and the next range skips bytes before its own ``start``.
+    """
+    f.seek(start)
+    window = end - start
+    # +2 bytes of overlap so a magic beginning at end-1 is visible; only
+    # candidates with i < window (start offset < end) are claimed.
+    buf = bytearray(f.read(window + len(_GZ_MAGIC) - 1))
+    pos = 0
+    while True:
+        i = buf.find(_GZ_MAGIC, pos)
+        if i < 0 or i >= window:
+            return
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = bytearray()
+        src = i
+        feed = _GUNZIP_CHUNK_MIN
+        ok = True
+        while True:
+            if src >= len(buf):
+                more = f.read(_GUNZIP_CHUNK)  # file pos is start+len(buf)
+                if not more:
+                    ok = False  # truncated final member
+                    break
+                buf += more
+            chunk = bytes(buf[src : src + feed])
+            try:
+                out += d.decompress(chunk)
+            except zlib.error:
+                ok = False
+                break
+            src += len(chunk)
+            if len(out) >= 5 and not out.startswith(b"WARC/"):
+                ok = False  # inflates, but not a WARC member — false magic
+                break
+            if d.eof:
+                src -= len(d.unused_data)
+                break
+            feed = min(feed * 2, _GUNZIP_CHUNK)
+        if ok and d.eof and out.startswith(b"WARC/"):
+            yield bytes(out)
+            pos = src
+        else:
+            pos = i + 1
+
+
+def _warc_ranges(path: str, chunk: int) -> list[tuple[str, int, int]]:
+    """Driver-side range plan for ``read_warc(split_mb=)``: every
+    ``*.warc*`` file under ``path``, ``.gz`` files cut into ``chunk``-byte
+    offset ranges (members claimed by start offset — see
+    :func:`_scan_gz_members`), plain ``.warc`` kept whole (its records are
+    length-prefix framed, only sequentially parseable)."""
+    ranges: list[tuple[str, int, int]] = []
+    for root, _dirs, names in os.walk(path):
+        for nm in sorted(names):
+            if ".warc" not in nm:
+                continue
+            fp = os.path.join(root, nm)
+            size = os.path.getsize(fp)
+            if nm.endswith(".gz") and size > chunk:
+                for s in range(0, size, chunk):
+                    ranges.append((fp, s, min(s + chunk, size)))
+            else:
+                ranges.append((fp, 0, size))
+    return sorted(ranges)
+
+
+def read_warc(
+    spark: SparkSession, path: str, split_mb: float | None = None
+) -> DataFrame:
     """``.warc``/``.warc.gz`` files under ``path`` → PAGES_SCHEMA rows.
 
     One archive file = one input row (binaryFile source) = the unit of
@@ -148,12 +236,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     exploded executor-side.  ``text``/``lang`` are NULL — run the
     extraction UDF downstream exactly as for pre-parsed corpora.
 
+    ``split_mb`` — INDEX-FREE sub-file parallelism: without a CDX offset
+    index (``read_records_at`` covers the indexed case), one jumbo
+    ``.warc.gz`` is otherwise one task and holds the whole stage
+    (measured 9.98× on a single 326 MB archive, BENCH/warc_r5.json).
+    When set, each ``.gz`` archive is cut into ``split_mb``-MB byte
+    ranges and every range independently finds and decodes the gzip
+    members that START inside it (validated-magic scan, see
+    :func:`_scan_gz_members`) — no index, no sequential prescan, exactly-
+    once per member.  Files must be reachable from executors (same
+    shared-filesystem contract as ``read_records_at``); plain ``.warc``
+    files and files smaller than one chunk stay whole.  A ``.gz``-named
+    file that isn't actually gzip falls back to the whole-file parse (its
+    range-0 task detects the missing magic; other ranges yield nothing).
+
     Error isolation (r2 ADVICE): a corrupt archive (bad gzip member, bad
     record header) must not kill a 100k-file ingestion job — each blob is
     parsed under try/except; records decoded before the corruption point
     are kept, the rest of that archive is skipped and counted via a
     warning log (matching :func:`read_records_at`'s per-record tolerance).
     """
+    if split_mb is not None:
+        return _read_warc_split(spark, path, split_mb)
     import logging
 
     import pandas as pd
@@ -197,6 +301,73 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return raw.mapInPandas(_explode, PAGES_SCHEMA)
+
+
+def _read_warc_split(spark: SparkSession, path: str, split_mb: float) -> DataFrame:
+    """The ``read_warc(split_mb=)`` body: range-plan driver-side (file
+    listing only — no archive bytes touch the driver), then each range
+    scans/validates/decodes its own members executor-side."""
+    import logging
+
+    import pandas as pd
+
+    from .schemas import PAGES_SCHEMA
+
+    chunk = max(int(split_mb * (1 << 20)), 1)
+    ranges = _warc_ranges(path, chunk)
+    if not ranges:
+        return spark.createDataFrame([], PAGES_SCHEMA)
+    rng = spark.createDataFrame(ranges, "path string, start long, end long")
+    # one task per range up to a bounded fan-out; round-robin keeps the
+    # jumbo's ranges spread across executors instead of clumped per slice
+    n_parts = min(len(ranges), max(4 * spark.sparkContext.defaultParallelism, 1))
+    rng = rng.repartition(n_parts)
+
+    def _explode(batches):
+        log = logging.getLogger("crawlspark.warc")
+
+        def _rows_from(member: bytes, rows: list) -> None:
+            for rec in parse_warc_stream(member):
+                rows.append(
+                    {
+                        "url": rec["url"],
+                        "warc_ts": rec["warc_ts"],
+                        "html": rec["html"],
+                        "text": None,
+                        "lang": None,
+                    }
+                )
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for fp, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                s, e = int(s), int(e)
+                try:
+                    with open(fp, "rb") as f:
+                        if fp.endswith(".gz"):
+                            if s == 0 and f.read(3) != _GZ_MAGIC:
+                                # mislabeled plain file: whole-file fallback
+                                # (ranges s>0 of it find no magic → no rows)
+                                f.seek(0)
+                                _rows_from(_maybe_gunzip(f.read()), rows)
+                                continue
+                            for member in _scan_gz_members(f, s, e):
+                                try:
+                                    _rows_from(member, rows)
+                                except ValueError:
+                                    log.warning(
+                                        "skipping bad WARC member in %s @%d", fp, s
+                                    )
+                        else:
+                            _rows_from(_maybe_gunzip(f.read()), rows)
+                except (OSError, ValueError, zlib.error, OverflowError) as err:
+                    log.warning("skipping corrupt WARC range %s [%d,%d): %s",
+                                fp, s, e, err)
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return rng.mapInPandas(_explode, PAGES_SCHEMA)
 
 
 def write_warc(

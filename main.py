@@ -29,6 +29,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         help="warc: a directory of .warc/.warc.gz archives (Common Crawl "
         "layout); text extraction then runs in the crawl loop as usual",
     )
+    p.add_argument(
+        "--warc-split-mb",
+        type=float,
+        default=None,
+        help="with --pages-format warc: cut each .warc.gz into byte ranges "
+        "of this many MB so one jumbo archive fans out across executors "
+        "(index-free validated-magic member scan; default: one file = one task)",
+    )
     p.add_argument("--seeds", required=True, help="seed url list (text file, one url per line)")
     p.add_argument("--robots", default=None, help="robots rules (json file: [{host, rules, crawl_delay}])")
     p.add_argument(
@@ -128,7 +136,9 @@ def main(argv: list[str]) -> int:
     from crawlspark.session import get_spark
 
     spark = get_spark("crawlspark", master=None)
-    pages = io.read_pages(spark, args.pages, fmt=args.pages_format)
+    pages = io.read_pages(
+        spark, args.pages, fmt=args.pages_format, warc_split_mb=args.warc_split_mb
+    )
     seeds = io.read_seeds(spark, args.seeds)
     if args.robots_txt or args.robots_from_pages:
         from crawlspark import polite

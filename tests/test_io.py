@@ -183,7 +183,110 @@ def test_warc_corrupt_archive_isolated(spark, tmp_path):
     assert set(got) == want
 
 
-def test_sitemap_parse_one_shapes():
+def _incompressible_warc_records(n, size=50_000):
+    """Records whose html is seeded random bytes — compressed members stay
+    ~size bytes, so a small split chunk makes members STRADDLE ranges."""
+    import random
+    from datetime import datetime
+
+    rng = random.Random(1234)
+    return [
+        (
+            f"https://jumbo.example/p{i:03d}",
+            datetime(2026, 2, 1, 8, i % 60, 0),
+            rng.randbytes(size),
+        )
+        for i in range(n)
+    ]
+
+
+def test_read_warc_split_equals_unsplit(spark, tmp_path):
+    """Index-free split (read_warc(split_mb=)): a mixed dir of plain .warc
+    + a jumbo .warc.gz whose members straddle range boundaries returns
+    EXACTLY the unsplit rows — members are claimed by start offset, each
+    exactly once, with no CDX index."""
+    from crawlspark import warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    small = _warc_records()
+    warc.write_warc(small[:4], str(d / "a.warc"), compress=False)
+    jumbo = _incompressible_warc_records(24)  # ~1.2 MB compressed
+    warc.write_warc(jumbo, str(d / "jumbo.warc.gz"), compress=True)
+
+    base = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in warc.read_warc(spark, str(d)).collect()
+    }
+    assert len(base) == 28
+    # 16 KB chunks << 50 KB members: every member straddles ranges
+    got = {
+        r["url"]: (bytes(r["html"]), r["warc_ts"])
+        for r in warc.read_warc(spark, str(d), split_mb=16 / 1024).collect()
+    }
+    assert got == base
+    # the range plan actually fanned the jumbo out
+    ranges = warc._warc_ranges(str(d), 16 << 10)
+    assert sum(1 for fp, _s, _e in ranges if fp.endswith(".gz")) > 10
+    assert sum(1 for fp, _s, _e in ranges if fp.endswith("a.warc")) == 1
+
+
+def test_scan_gz_members_rejects_false_magic(tmp_path):
+    """The validated-magic scan claims real members exactly once and
+    rejects both failure modes of a stray 1f8b08: bytes that don't
+    inflate, and a genuine gzip member whose plaintext isn't WARC/."""
+    import gzip
+    import io as iomod
+
+    from crawlspark import warc
+
+    def member(payload: bytes) -> bytes:
+        buf = iomod.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(payload)
+        return buf.getvalue()
+
+    real1 = member(b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    real2 = member(b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+    fake_raw = b"\x1f\x8b\x08" + b"\xde\xad\xbe\xef" * 8  # fails zlib
+    fake_gz = member(b"NOT A WARC RECORD AT ALL")  # inflates, wrong prefix
+    blob = real1 + fake_raw + fake_gz + real2
+    fp = tmp_path / "mixed.warc.gz"
+    fp.write_bytes(blob)
+
+    with open(fp, "rb") as f:
+        members = list(warc._scan_gz_members(f, 0, len(blob)))
+    assert len(members) == 2
+    assert members[0].startswith(b"WARC/1.0") and b"ok" in members[1]
+
+    # range split: claims partition exactly at an arbitrary boundary
+    cut = len(real1) + 3  # mid-fake_raw: real1 left of cut, rest right
+    with open(fp, "rb") as f:
+        left = list(warc._scan_gz_members(f, 0, cut))
+    with open(fp, "rb") as f:
+        right = list(warc._scan_gz_members(f, cut, len(blob)))
+    assert left == members[:1] and right == members[1:]
+
+
+def test_read_warc_split_fallbacks_and_salvage(spark, tmp_path):
+    """split mode keeps read_warc's tolerance contract: a plain-bytes file
+    mislabeled .gz takes the whole-file fallback, and a jumbo truncated
+    mid-final-member salvages every complete member before the cut."""
+    from crawlspark import warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    recs = _warc_records()
+    # plain warc bytes under a .gz name (range-0 detects missing magic)
+    warc.write_warc(recs[:3], str(d / "mislabeled.warc.gz"), compress=False)
+    jumbo = _incompressible_warc_records(12)
+    warc.write_warc(jumbo, str(d / "trunc.warc.gz"), compress=True)
+    raw = (d / "trunc.warc.gz").read_bytes()
+    (d / "trunc.warc.gz").write_bytes(raw[: len(raw) - 20_000])  # cut last member
+
+    got = {r["url"] for r in warc.read_warc(spark, str(d), split_mb=16 / 1024).collect()}
+    want = {u for u, _, _ in recs[:3]} | {u for u, _, _ in jumbo[:11]}
+    assert got == want
     from crawlspark import io as cio
 
     urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
