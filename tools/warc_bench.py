@@ -206,8 +206,12 @@ def main() -> None:
     wall_split, n_split = _time_df(
         lambda: warc.read_records_at(spark, jum_dir, index, split_mb=SPLIT_MB)
     )
-    assert n_scan == n_idx1 == n_split == JUMBO_RECS, (
-        n_scan, n_idx1, n_split)
+    # index-FREE sub-file parallelism (late r5): validated-magic range scan
+    wall_free, n_free = _time_df(
+        lambda: warc.read_warc(spark, jum_dir, split_mb=SPLIT_MB)
+    )
+    assert n_scan == n_idx1 == n_split == n_free == JUMBO_RECS, (
+        n_scan, n_idx1, n_split, n_free)
     out["jumbo"] = {
         "files": 1, "records": JUMBO_RECS,
         "compressed_mb": round(jum_bytes / 2**20, 1),
@@ -215,7 +219,9 @@ def main() -> None:
         "read_warc_single_task_sec": round(wall_scan, 2),
         "records_at_unsplit_sec": round(wall_idx1, 2),
         "records_at_split_sec": round(wall_split, 2),
+        "read_warc_indexfree_split_sec": round(wall_free, 2),
         "split_speedup_vs_single_task": round(wall_scan / wall_split, 2),
+        "indexfree_speedup_vs_single_task": round(wall_scan / wall_free, 2),
     }
     print(f"jumbo: {out['jumbo']}", file=sys.stderr)
     spark.stop()
