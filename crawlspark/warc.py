@@ -144,9 +144,10 @@ _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
 def _scan_gz_members(f, start: int, end: int):
-    """Yield the decoded bytes of every gzip member whose FIRST byte lies
-    in ``[start, end)`` of the open binary file ``f`` — the index-free
-    split primitive behind ``read_warc(split_mb=)``.
+    """Yield ``(abs_offset, compressed_length, decoded_bytes)`` for every
+    gzip member whose FIRST byte lies in ``[start, end)`` of the open
+    binary file ``f`` — the index-free split primitive behind
+    ``read_warc(split_mb=)`` and the distributed indexer ``build_cdx``.
 
     gzip members carry no length prefix, so an arbitrary byte range can't
     be decoded blind; instead each range scans its window for the member
@@ -199,7 +200,7 @@ def _scan_gz_members(f, start: int, end: int):
                 break
             feed = min(feed * 2, _GUNZIP_CHUNK)
         if ok and d.eof and out.startswith(b"WARC/"):
-            yield bytes(out)
+            yield start + i, src - i, bytes(out)
             pos = src
         else:
             pos = i + 1
@@ -351,12 +352,12 @@ def _read_warc_split(spark: SparkSession, path: str, split_mb: float) -> DataFra
                                 f.seek(0)
                                 _rows_from(_maybe_gunzip(f.read()), rows)
                                 continue
-                            for member in _scan_gz_members(f, s, e):
+                            for _off, _clen, member in _scan_gz_members(f, s, e):
                                 try:
                                     _rows_from(member, rows)
                                 except ValueError:
                                     log.warning(
-                                        "skipping bad WARC member in %s @%d", fp, s
+                                        "skipping bad WARC member in %s @%d", fp, _off
                                     )
                         else:
                             _rows_from(_maybe_gunzip(f.read()), rows)
@@ -368,6 +369,68 @@ def _read_warc_split(spark: SparkSession, path: str, split_mb: float) -> DataFra
             )
 
     return rng.mapInPandas(_explode, PAGES_SCHEMA)
+
+
+CDX_SCHEMA = "filename string, offset long, length long, url string, warc_ts timestamp"
+
+
+def build_cdx(
+    spark: SparkSession, warc_root: str, split_mb: float = 16.0
+) -> DataFrame:
+    """Distributed CDX-style offset indexer: one pass over a ``.warc.gz``
+    directory → ``(filename, offset, length, url, warc_ts)`` rows, the
+    exact shape ``read_records_at`` (and a CDX server) consumes.
+
+    This closes the ingestion loop for corpora that arrive WITHOUT an
+    index: ``read_warc(split_mb=)`` streams them once, and ``build_cdx``
+    — built on the same validated-magic range scan, so the indexing pass
+    itself fans out sub-file — persists the offsets so every later access
+    is a seek, not a scan (Common Crawl's own cdx-indexer workflow).
+    ``filename`` is relative to ``warc_root``, matching what
+    ``read_records_at(warc_root, index)`` joins back.  One row per
+    response/resource record (warcinfo/request/metadata members carry no
+    page and are skipped); a member holding several records yields one
+    row per record, all sharing the member's (offset, length) — exactly
+    how a range read recovers them.  Plain ``.warc`` files are skipped
+    (no member framing to seek to; read them via ``read_warc`` directly).
+    """
+    import pandas as pd
+
+    chunk = max(int(split_mb * (1 << 20)), 1)
+    ranges = [
+        (fp, s, e)
+        for fp, s, e in _warc_ranges(warc_root, chunk)
+        if fp.endswith(".gz")
+    ]
+    if not ranges:
+        return spark.createDataFrame([], CDX_SCHEMA)
+    rng = spark.createDataFrame(ranges, "path string, start long, end long")
+    n_parts = min(len(ranges), max(4 * spark.sparkContext.defaultParallelism, 1))
+    rng = rng.repartition(n_parts)
+    root = os.path.abspath(warc_root)
+
+    def _index(batches):
+        for pdf in batches:
+            rows = []
+            for fp, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                try:
+                    with open(fp, "rb") as f:
+                        rel = os.path.relpath(os.path.abspath(fp), root)
+                        for off, clen, member in _scan_gz_members(f, int(s), int(e)):
+                            try:
+                                for rec in parse_warc_stream(member):
+                                    rows.append(
+                                        (rel, off, clen, rec["url"], rec["warc_ts"])
+                                    )
+                            except ValueError:
+                                continue
+                except OSError:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["filename", "offset", "length", "url", "warc_ts"]
+            )
+
+    return rng.mapInPandas(_index, CDX_SCHEMA)
 
 
 def write_warc(

@@ -257,7 +257,10 @@ def test_scan_gz_members_rejects_false_magic(tmp_path):
     with open(fp, "rb") as f:
         members = list(warc._scan_gz_members(f, 0, len(blob)))
     assert len(members) == 2
-    assert members[0].startswith(b"WARC/1.0") and b"ok" in members[1]
+    # (abs_offset, compressed_length, decoded_bytes) triples
+    assert members[0][0] == 0 and members[0][1] == len(real1)
+    assert members[1][0] == len(real1) + len(fake_raw) + len(fake_gz)
+    assert members[0][2].startswith(b"WARC/1.0") and b"ok" in members[1][2]
 
     # range split: claims partition exactly at an arbitrary boundary
     cut = len(real1) + 3  # mid-fake_raw: real1 left of cut, rest right
@@ -287,6 +290,96 @@ def test_read_warc_split_fallbacks_and_salvage(spark, tmp_path):
     got = {r["url"] for r in warc.read_warc(spark, str(d), split_mb=16 / 1024).collect()}
     want = {u for u, _, _ in recs[:3]} | {u for u, _, _ in jumbo[:11]}
     assert got == want
+
+
+def test_build_cdx_roundtrip(spark, tmp_path):
+    """build_cdx distributed indexing == write_warc's own offset index,
+    and read_records_at over the built index recovers exactly the
+    read_warc rows — index-free ingest, then indexed random access."""
+    from crawlspark import warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    jumbo = _incompressible_warc_records(20)
+    small = _warc_records()
+    idx_j = warc.write_warc(jumbo, str(d / "jumbo.warc.gz"), compress=True)
+    idx_s = warc.write_warc(small[4:], str(d / "b.warc.gz"), compress=True)
+    warc.write_warc(small[:4], str(d / "a.warc"), compress=False)  # skipped
+
+    built = warc.build_cdx(spark, str(d), split_mb=16 / 1024)
+    got = {
+        (r["filename"], r["offset"], r["length"], r["url"]): r["warc_ts"]
+        for r in built.collect()
+    }
+    want = {("jumbo.warc.gz", off, ln, u) for u, off, ln in idx_j} | {
+        ("b.warc.gz", off, ln, u) for u, off, ln in idx_s
+    }
+    assert set(got) == want
+
+    via_index = {
+        (r["url"], bytes(r["html"]))
+        for r in warc.read_records_at(spark, str(d), built).collect()
+    }
+    direct = {
+        (r["url"], bytes(r["html"]))
+        for r in warc.read_warc(spark, str(d)).collect()
+        if not r["url"].startswith(tuple(u for u, _, _ in small[:4]))
+    }
+    assert via_index == direct and len(via_index) == 24
+
+
+def test_scan_gz_members_fuzz_exactly_once(tmp_path):
+    """Property: for ANY archive layout (member sizes, interleaved garbage)
+    and ANY range partition, the union of per-range claims is exactly the
+    real member set, each claimed once by the range owning its start."""
+    import gzip
+    import io as iomod
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawlspark import warc
+
+    def member(payload: bytes) -> bytes:
+        buf = iomod.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(payload)
+        return buf.getvalue()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng = random.Random(data.draw(st.integers(0, 2**32)))
+        n = data.draw(st.integers(1, 8))
+        members = [
+            member(b"WARC/1.0\r\nid: %d\r\n\r\n" % k + rng.randbytes(rng.randrange(0, 3000)))
+            for k in range(n)
+        ]
+        blob = b""
+        starts = []
+        for m in members:
+            if rng.random() < 0.4:  # garbage between members (may hold magic)
+                blob += rng.randbytes(rng.randrange(1, 64))
+            starts.append(len(blob))
+            blob += m
+        fp = tmp_path / "fuzz.warc.gz"
+        fp.write_bytes(blob)
+        cuts = sorted({0, len(blob)} | {
+            rng.randrange(0, len(blob) + 1) for _ in range(data.draw(st.integers(0, 4)))
+        })
+        claimed = []
+        for a, b in zip(cuts, cuts[1:]):
+            with open(fp, "rb") as f:
+                claimed.extend(warc._scan_gz_members(f, a, b))
+        assert [(off, ln) for off, ln, _m in claimed] == sorted(
+            (s, len(m)) for s, m in zip(starts, members)
+        )
+        assert [m for _o, _l, m in claimed] == [
+            gzip.decompress(m) for m in members
+        ]
+
+    run()
     from crawlspark import io as cio
 
     urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
