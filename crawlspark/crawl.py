@@ -48,6 +48,13 @@ def _filter_mod(kind: str):
     raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo', got {kind!r}")
 
 
+def _filter_version(kind: str) -> str:
+    """On-disk format version of the seen-filter sidecar — manifested at
+    commit and compared at resume (a layout change makes old sidecars
+    probe lossily, which silently re-fetches seen urls)."""
+    return cuckoo.CUCKOO_VERSION if kind == "cuckoo" else config.BLOOM_VERSION
+
+
 def _materialize(df: DataFrame, persist_mode: str) -> DataFrame:
     """Pin a round-internal frame that multiple downstream jobs reuse.
 
@@ -361,6 +368,25 @@ def crawl(
                 f"snapshot filter_kind {snap_kind!r} != resuming config "
                 f"{cfg.filter_kind!r}; resume with the original filter_kind"
             )
+        # format-version guard (r5): a sidecar written under an older
+        # index/bit layout would probe LOSSILY under the current code —
+        # maybe_seen=False for genuinely-seen urls skips the exact
+        # anti-join and re-fetches them.  Refuse, don't silently degrade.
+        # Old manifests carry bloom_version always and filter_version
+        # never; treat a missing filter_version as the bloom_version for
+        # bloom runs (cuckoo runs always wrote filter_kind, and any
+        # pre-versioning cuckoo sidecar is v1 ≠ current → refuse).
+        snap_fv = _mf.get(
+            "filter_version",
+            _mf.get("bloom_version") if snap_kind == "bloom" else "cuckoo-v1",
+        )
+        cur_fv = _filter_version(cfg.filter_kind)
+        if snap_fv != cur_fv:
+            raise ValueError(
+                f"snapshot filter format {snap_fv!r} != engine {cur_fv!r}; "
+                "the sidecar would probe lossily (seen urls re-fetched) — "
+                "rebuild state or pin the engine version that wrote it"
+            )
         sidecar = state.bloom_path(snapshot_root, run_id, last)
     else:
         frontier = seeds_to_frontier(seeds, cfg.n_buckets)
@@ -448,7 +474,10 @@ def crawl(
                 fetch_log=out["fetch_log"],
                 metrics=all_metrics,
                 n_buckets=cfg.n_buckets,
-                extra={"filter_kind": cfg.filter_kind},
+                extra={
+                    "filter_kind": cfg.filter_kind,
+                    "filter_version": _filter_version(cfg.filter_kind),
+                },
             )
             sidecar = state.bloom_path(snapshot_root, run_id, r)
 

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-CUCKOO_VERSION = "cuckoo-v1"
+CUCKOO_VERSION = "cuckoo-v2:mixed-index"
 SLOTS = 4  # fingerprints per table entry
 MAX_KICKS = 500
 TARGET_LOAD = 0.84  # classic 4-way cuckoo max sustainable load ~0.95; headroom
@@ -72,7 +72,21 @@ def _fingerprint(hashes: np.ndarray) -> np.ndarray:
 
 
 def _index1(hashes: np.ndarray, m: int) -> np.ndarray:
+    """Primary entry index from MIXED hash bits (fmix64-style).
+
+    v1 took the raw low bits (``h & (m-1)``) — but the seen table is
+    bucketed by ``pmod(url_hash, n_buckets)``, so within one bucket every
+    hash is congruent mod n_buckets; with n_buckets a power of two the raw
+    low bits collapse all 10k+ items of a bucket onto m/n_buckets entries,
+    degenerating placement into the sequential kick loop (measured: 6.7 s
+    per 13k-item bucket, 11% overflow — the r5 filter bench's entire
+    59 s cuckoo-over-bloom gap).  Multiply-xorshift mixing decorrelates
+    the index from the bucketing residue; same fix shape as bloom's odd
+    mixed stride (bloom.py _positions).
+    """
     h = hashes.astype(np.int64).view(np.uint64)
+    h = (h ^ (h >> np.uint64(33))) * _MULT
+    h ^= h >> np.uint64(29)
     return (h & np.uint64(m - 1)).astype(np.int64)
 
 

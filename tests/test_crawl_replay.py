@@ -475,3 +475,36 @@ def test_frontier_unseen_debug_invariant_guard(spark, fixtures):
         collect_metrics=False, frontier_unseen=True,
     )
     assert out["fetch_log"].count() > 0
+
+
+def test_filter_version_mismatch_refused(spark, fixtures, tmp_path):
+    """A sidecar written under an older filter format (e.g. the v1 unmixed
+    cuckoo index) would probe LOSSILY under current code — maybe_seen=False
+    for genuinely-seen urls skips the exact anti-join and re-fetches them.
+    Resume must refuse on the manifested filter_version, for both kinds."""
+    import dataclasses
+    import json
+    import os
+
+    from crawlspark import state
+
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    for kind, stale in (("cuckoo", "cuckoo-v1"), ("bloom", "double-hash-v0:8:4")):
+        root = str(tmp_path / f"snaps_fv_{kind}")
+        cfg = dataclasses.replace(CFG, rounds=1, filter_kind=kind)
+        crawl.crawl(
+            spark, seeds_df, pages_df, robots_df, cfg=cfg,
+            snapshot_root=root, run_id="fv",
+        )
+        mpath = os.path.join(root, "fv", "round=0", state.MANIFEST)
+        with open(mpath) as f:
+            mf = json.load(f)
+        assert mf["filter_version"]  # r5: manifested at commit
+        mf["filter_version"] = stale
+        with open(mpath, "w") as f:
+            json.dump(mf, f)
+        with pytest.raises(ValueError, match="filter format"):
+            crawl.crawl(
+                spark, seeds_df, pages_df, robots_df, cfg=cfg,
+                snapshot_root=root, run_id="fv", resume=True,
+            )

@@ -97,3 +97,22 @@ def test_remove_dataframe_level(spark, seen_df, tmp_path):
     assert still.filter("NOT maybe_seen").count() == 0
     gone = cuckoo.probe(deletes, sidecar, keep_maybe_seen=True)
     assert gone.filter("maybe_seen").count() < deletes.count() * 0.02
+
+
+def test_bucket_congruent_hashes_stay_vectorized():
+    """r5 filter-bench root cause: seen tables are bucketed by
+    pmod(url_hash, n_buckets), so within one bucket every hash shares its
+    low bits.  The v1 index (raw ``h & (m-1)``) collapsed a 13k-item
+    bucket onto m/64 entries — 11% overflow and a 6.7 s sequential kick
+    loop per bucket.  The mixed index must keep placement dense and the
+    overflow empty on exactly this distribution."""
+    rng = np.random.default_rng(7)
+    n = 13_000
+    hashes = rng.integers(-(2**56), 2**56, size=n, dtype=np.int64) * 64 + 5
+    t, o = cuckoo._build_table(hashes)
+    assert len(np.frombuffer(o, dtype=np.uint16)) <= 10  # v1: 1471
+    assert cuckoo._probe_table(hashes, t, o).all()
+    # index spread: mixed bits must use (nearly) the full table, not 64 rows
+    m = cuckoo._m_entries(n)
+    i1 = cuckoo._index1(hashes, m)
+    assert len(np.unique(i1)) > m // 2  # v1: exactly 64
