@@ -92,6 +92,66 @@ def build(seen: DataFrame) -> DataFrame:
     return seen.groupBy("bucket").applyInPandas(_one_bucket, BLOOM_SCHEMA)
 
 
+def absorb(filters: DataFrame, delta: DataFrame, seen: DataFrame) -> DataFrame:
+    """Updated sidecar = previous filters ∪ this round's DISJOINT seen delta.
+
+    The per-round sidecar rebuild was the last O(|seen|) snapshot cost
+    (r5; the seen table itself commits as a delta, state.py).  Because bit
+    positions depend only on the bitset size and the size rule only on the
+    item count, OR-ing the delta's bits into the previous bitset is
+    BYTE-IDENTICAL to a from-scratch build whenever the size rule keeps
+    the bucket's bitset size (pytest-pinned).  Buckets the growth rule
+    would resize — plus delta buckets with no previous row — rebuild from
+    the full seen, pruned to just those buckets; with power-of-two sizing
+    each bucket resizes O(log n) times over a crawl, so maintenance is
+    amortized O(|delta|) per round.
+
+    ``delta`` must be disjoint from the seen set the previous filters were
+    built over (the crawl loop's absorb invariant) — double-inserting a
+    hash is harmless for bloom bits but would double-count ``n_items`` and
+    mistime the next resize.
+    """
+    import pandas as pd
+
+    def _one(fpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(dpdf) == 0:
+            return fpdf[["bucket", "bitset", "n_items", "version"]]
+        bucket = int(dpdf["bucket"].iloc[0]) if len(fpdf) == 0 else int(fpdf["bucket"].iloc[0])
+        if len(fpdf) == 0:
+            # bucket never seen before: no row to grow — rebuild marker
+            return pd.DataFrame(
+                {"bucket": [bucket], "bitset": [b""], "n_items": [-1],
+                 "version": [config.BLOOM_VERSION]}
+            )
+        bitset = fpdf["bitset"].iloc[0]
+        n_new = int(fpdf["n_items"].iloc[0]) + len(dpdf)
+        if _bitset_size_bits(n_new) != len(bitset) * 8:
+            return pd.DataFrame(
+                {"bucket": [bucket], "bitset": [b""], "n_items": [-1],
+                 "version": [config.BLOOM_VERSION]}
+            )
+        arr = np.frombuffer(bitset, dtype=np.uint8).copy()
+        pos = _positions(dpdf["url_hash"].to_numpy(dtype=np.int64), len(arr) * 8).ravel()
+        np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {"bucket": [bucket], "bitset": [arr.tobytes()], "n_items": [n_new],
+             "version": [fpdf["version"].iloc[0]]}
+        )
+
+    updated = (
+        filters.select("bucket", "bitset", "n_items", "version")
+        .groupBy("bucket")
+        .cogroup(delta.groupBy("bucket"))
+        .applyInPandas(_one, BLOOM_SCHEMA)
+        .localCheckpoint(eager=True)  # consumed twice: marker scan + write
+    )
+    need = [r["bucket"] for r in updated.filter("n_items < 0").select("bucket").collect()]
+    good = updated.filter("n_items >= 0")
+    if need:  # bounded by n_buckets rows — same class as the per-partition count collects
+        good = good.unionByName(build(seen.filter(F.col("bucket").isin(need))))
+    return good
+
+
 def write_sidecar(bloom_df: DataFrame, path: str) -> None:
     """Persist the sidecar partitioned by bucket → per-bucket pruned reads."""
     bloom_df.write.mode("overwrite").partitionBy("bucket").parquet(path)

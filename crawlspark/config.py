@@ -67,6 +67,15 @@ class CrawlConfig:
     # absorb); every this-many rounds the union is re-materialized flat so
     # plan depth stays bounded on long unsnapshotted crawls.
     seen_compact_rounds: int = 16
+    # snapshot cost control (r5): a committed round writes the FULL seen
+    # table only every this-many rounds; the rounds between commit just
+    # the round's disjoint delta (state.py seen_mode="delta"), so per-round
+    # snapshot I/O is O(batch) instead of O(|seen|) — the latter is O(n²)
+    # cumulative and would not survive a 10^10-url crawl.  Resume
+    # reconstructs seen from checkpoint + deltas in one multi-path scan;
+    # gc_snapshots keeps every kept round's chain alive.  1 = legacy
+    # full-every-round.
+    seen_checkpoint_every: int = 8
     # frontier growth control: when set, each round's new frontier keeps at
     # most this many urls per host (best-first, sched.cap_frontier) —
     # mega-hosts can't swamp storage/shuffles between rounds.  None = off

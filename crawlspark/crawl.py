@@ -319,6 +319,7 @@ def run_round(
         "parsed": parsed,
         "frontier": new_frontier,
         "seen": new_seen,
+        "seen_delta": seen_delta,
         "metrics": m,
     }
 
@@ -460,10 +461,27 @@ def crawl(
             ).withColumn("rep", F.round(F.col("q_sum") / F.col("n"), 6))
         rounds_run += 1
         if snapshot_root is not None:
-            bloom_df = _filter_mod(cfg.filter_kind).build(seen)
+            # incremental sidecar maintenance (r5): when last round's
+            # sidecar exists, absorb this round's disjoint delta into it —
+            # amortized O(batch) — instead of rescanning the full seen set;
+            # buckets the sizing rule would grow rebuild from seen (pruned).
+            _fm = _filter_mod(cfg.filter_kind)
+            if sidecar is not None and os.path.isdir(sidecar):
+                bloom_df = _fm.absorb(
+                    spark.read.parquet(sidecar), out["seen_delta"], seen
+                )
+            else:
+                bloom_df = _fm.build(seen)
             all_metrics = out["metrics"][0]
             for mdf in out["metrics"][1:]:
                 all_metrics = all_metrics.unionByName(mdf)
+            # full seen checkpoint every Nth round, O(batch) delta between
+            # (state.py "Incremental seen"); round 0 and post-resume rounds
+            # land on the same pure-function-of-r cadence, so chains stay
+            # bounded across resumes.  The delta is exactly the set absorbed
+            # into `seen` this round (disjoint by the anti-join) — the
+            # invariant that makes chain reconstruction exact.
+            is_full = cfg.seen_checkpoint_every <= 1 or r % cfg.seen_checkpoint_every == 0
             state.commit_snapshot(
                 snapshot_root,
                 run_id,
@@ -474,6 +492,7 @@ def crawl(
                 fetch_log=out["fetch_log"],
                 metrics=all_metrics,
                 n_buckets=cfg.n_buckets,
+                seen_delta=None if is_full else out["seen_delta"],
                 extra={
                     "filter_kind": cfg.filter_kind,
                     "filter_version": _filter_version(cfg.filter_kind),

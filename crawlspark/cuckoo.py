@@ -130,11 +130,22 @@ def _build_table(hashes: np.ndarray) -> tuple[bytes, bytes]:
         np.add.at(used, entries, 1)
         unplaced = unplaced[order[~admit]]
 
-    overflow: list[np.uint16] = []
     # residual tail: classic sequential kick loop, attempt-counter victims
-    for item in unplaced:
-        f = fp[item]
-        idx = int(i1[item])
+    overflow = _insert_into_table(table, hashes[unplaced], m)
+    return table.tobytes(), np.array(overflow, dtype=np.uint16).tobytes()
+
+
+def _insert_into_table(table: np.ndarray, hashes: np.ndarray, m: int) -> list:
+    """Sequential kick-loop insert of ``hashes`` into an EXISTING (m, SLOTS)
+    table, in place; returns the fingerprints that could not be placed.
+    Handles non-contiguous slot occupancy (deletions punch holes), so it is
+    also the absorb path's insert."""
+    fp = _fingerprint(hashes)
+    i1 = _index1(hashes, m)
+    overflow: list = []
+    for j in range(len(hashes)):
+        f = fp[j]
+        idx = int(i1[j])
         placed = False
         for kick in range(MAX_KICKS):
             row = table[idx]
@@ -148,7 +159,7 @@ def _build_table(hashes: np.ndarray) -> tuple[bytes, bytes]:
             idx = int(_alt_index(np.array([idx]), np.array([f], dtype=np.uint16), m)[0])
         if not placed:
             overflow.append(f)
-    return table.tobytes(), np.array(overflow, dtype=np.uint16).tobytes()
+    return overflow
 
 
 def _probe_table(hashes: np.ndarray, table_b: bytes, overflow_b: bytes) -> np.ndarray:
@@ -240,6 +251,67 @@ def remove(filters: DataFrame, deletes: DataFrame) -> DataFrame:
         .cogroup(deletes.groupBy("bucket"))
         .applyInPandas(_apply, CUCKOO_SCHEMA)
     )
+
+
+def absorb(filters: DataFrame, delta: DataFrame, seen: DataFrame) -> DataFrame:
+    """Updated sidecar = previous filters ∪ this round's DISJOINT seen delta.
+
+    Same contract and two-phase shape as :func:`crawlspark.bloom.absorb`
+    (the r5 incremental-snapshot work): buckets whose sizing rule is
+    unchanged insert the delta's fingerprints into the existing table
+    in place (cuckoo tables support true insert — sequential kicks are
+    O(1) amortized below TARGET_LOAD); buckets the rule would resize, or
+    that have no previous row, rebuild from the full seen pruned to just
+    those buckets.  Unlike bloom the absorbed bytes are not byte-identical
+    to a from-scratch build (placement is insertion-order dependent), but
+    the no-false-negative contract is unconditional either way and the
+    delta is sorted first so the result is deterministic.
+    """
+    import pandas as pd
+
+    def _one(fpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(dpdf) == 0:
+            return fpdf[["bucket", "table", "overflow", "n_items", "version"]]
+        if len(fpdf) == 0:
+            bucket = int(dpdf["bucket"].iloc[0])
+            return pd.DataFrame(
+                {"bucket": [bucket], "table": [b""], "overflow": [b""],
+                 "n_items": [-1], "version": [CUCKOO_VERSION]}
+            )
+        bucket = int(fpdf["bucket"].iloc[0])
+        table_b = fpdf["table"].iloc[0]
+        m = len(table_b) // (2 * SLOTS)
+        n_new = int(fpdf["n_items"].iloc[0]) + len(dpdf)
+        if _m_entries(n_new) != m:
+            return pd.DataFrame(
+                {"bucket": [bucket], "table": [b""], "overflow": [b""],
+                 "n_items": [-1], "version": [CUCKOO_VERSION]}
+            )
+        table = np.frombuffer(table_b, dtype=np.uint16).reshape(m, SLOTS).copy()
+        hashes = np.sort(dpdf["url_hash"].to_numpy(dtype=np.int64))
+        ovf_new = _insert_into_table(table, hashes, m)
+        overflow = np.concatenate(
+            [np.frombuffer(fpdf["overflow"].iloc[0], dtype=np.uint16),
+             np.array(ovf_new, dtype=np.uint16)]
+        )
+        return pd.DataFrame(
+            {"bucket": [bucket], "table": [table.tobytes()],
+             "overflow": [overflow.tobytes()], "n_items": [n_new],
+             "version": [fpdf["version"].iloc[0]]}
+        )
+
+    updated = (
+        filters.select("bucket", "table", "overflow", "n_items", "version")
+        .groupBy("bucket")
+        .cogroup(delta.groupBy("bucket"))
+        .applyInPandas(_one, CUCKOO_SCHEMA)
+        .localCheckpoint(eager=True)  # consumed twice: marker scan + write
+    )
+    need = [r["bucket"] for r in updated.filter("n_items < 0").select("bucket").collect()]
+    good = updated.filter("n_items >= 0")
+    if need:
+        good = good.unionByName(build(seen.filter(F.col("bucket").isin(need))))
+    return good
 
 
 def write_sidecar(cuckoo_df: DataFrame, path: str) -> None:

@@ -5,7 +5,8 @@ Local layout (Iceberg-shaped; the Iceberg writer is a drop-in behind the
 same narrow API on a real cluster — no jar available in this sandbox):
 
     <root>/<run_id>/round=<k>/frontier/   parquet
-                              seen/       parquet (bucketed by `bucket`)
+                              seen/       parquet (full checkpoint rounds)
+                              seen_delta/ parquet (delta rounds — see below)
                               bloom/      parquet partitioned by bucket
                               fetch_log/  parquet (round, seq, url)
                               metrics/    parquet
@@ -15,6 +16,19 @@ A round directory without ``_manifest.json`` is an uncommitted torn write
 and is ignored on resume.  The manifest carries run_id, round, parent round,
 the bucket-fn version (detects incompatible re-bucketing — SURVEY.md §7
 hard-part 3) and per-partition row counts (lineage).
+
+**Incremental seen (r5).** The seen set is monotone within a run and the
+crawl loop maintains it as parent ∪ round-delta (a provably disjoint
+union, crawlspark/crawl.py run_round).  Writing the FULL set every round
+is O(|seen|) I/O per round — O(n²) cumulative over a long crawl, the one
+snapshot cost that would not survive a 10^10-url seen table.  So a round
+may commit only its delta (``seen_mode: "delta"`` in the manifest, table
+``seen_delta/``); resume reconstructs the set with ONE multi-path parquet
+scan over the nearest older full checkpoint plus the deltas after it.
+Full checkpoints recur every ``CrawlConfig.seen_checkpoint_every`` rounds
+(the streaming-state-store delta+snapshot pattern), which bounds chain
+length, resume fan-in, and how much history GC must retain.
+``gc_snapshots`` protects the live chain of every kept round.
 """
 
 from __future__ import annotations
@@ -62,12 +76,13 @@ def commit_snapshot(
     run_id: str,
     round_no: int,
     frontier: DataFrame,
-    seen: DataFrame,
+    seen: DataFrame | None,
     bloom_df: DataFrame | None = None,
     fetch_log: DataFrame | None = None,
     metrics: DataFrame | None = None,
     extra: dict | None = None,
     n_buckets: int | None = None,
+    seen_delta: DataFrame | None = None,
 ) -> str:
     """Write all state tables, then the manifest last (the commit point).
 
@@ -75,6 +90,13 @@ def commit_snapshot(
     threads so they overlap (inputs are checkpointed upstream — no shared
     recompute); lineage comes from the written files' parquet footers, so
     the whole commit costs exactly one job per table and zero collects.
+
+    When ``seen_delta`` is given, ONLY the delta is written (``seen`` is
+    ignored — the caller's in-memory union stays the loop's working set)
+    and the manifest records ``seen_mode: "delta"``.  Sound only when the
+    full set equals parent-round seen ∪ this delta, which the crawl loop
+    guarantees (disjoint absorb); requires the parent round to be
+    committed, else the chain could never be reconstructed — refused.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -90,9 +112,18 @@ def commit_snapshot(
         w.parquet(os.path.join(d, name))
         return name
 
+    if seen_delta is not None:
+        parent_d = _round_dir(root, run_id, round_no - 1)
+        if round_no <= 0 or not os.path.exists(os.path.join(parent_d, MANIFEST)):
+            raise ValueError(
+                f"delta seen snapshot for round {round_no} requires a "
+                "committed parent round (the delta chain must reach a full "
+                "checkpoint); commit the full seen table instead"
+            )
+
     jobs: list[tuple[DataFrame, str, str | None]] = [
         (frontier, "frontier", None),
-        (seen, "seen", None),
+        (seen_delta, "seen_delta", None) if seen_delta is not None else (seen, "seen", None),
     ]
     if bloom_df is not None:
         jobs.append((bloom_df, "bloom", "bucket"))
@@ -117,6 +148,7 @@ def commit_snapshot(
         # different n_buckets silently mismatches the (bucket, url_hash)
         # anti-join and re-fetches seen URLs (round-1 ADVICE)
         "n_buckets": config.N_BUCKETS if n_buckets is None else int(n_buckets),
+        "seen_mode": "delta" if seen_delta is not None else "full",
         "lineage": lineage,
         **(extra or {}),
     }
@@ -175,8 +207,43 @@ def load_snapshot(
             "resume with the original n_buckets or rebuild state"
         )
     frontier = spark.read.parquet(os.path.join(d, "frontier"))
-    seen = spark.read.parquet(os.path.join(d, "seen"))
+    seen = spark.read.parquet(*_seen_chain_paths(root, run_id, r, manifest))
     return frontier, seen, r, manifest
+
+
+def _seen_chain(root: str, run_id: str, r: int, manifest: dict) -> list[tuple[int, str]]:
+    """(round, table-dir) pairs whose union IS round ``r``'s seen set: the
+    round's own table for a full checkpoint, else its delta plus every
+    ancestor delta down to the nearest full checkpoint.  The deltas are
+    pairwise disjoint by construction, so plain union semantics (no
+    distinct) are exact."""
+    if manifest.get("seen_mode", "full") != "delta":
+        return [(r, "seen")]
+    chain = [(r, "seen_delta")]
+    rr = r - 1
+    while True:
+        mpath = os.path.join(_round_dir(root, run_id, rr), MANIFEST)
+        if rr < 0 or not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"seen delta chain for round {r} is broken at round {rr} "
+                f"(missing committed parent under {os.path.join(root, run_id)}); "
+                "the full set cannot be reconstructed — was the chain GC'd "
+                "by hand instead of via gc_snapshots?"
+            )
+        with open(mpath) as f:
+            mfi = json.load(f)
+        if mfi.get("seen_mode", "full") != "delta":
+            chain.append((rr, "seen"))
+            return chain
+        chain.append((rr, "seen_delta"))
+        rr -= 1
+
+
+def _seen_chain_paths(root: str, run_id: str, r: int, manifest: dict) -> list[str]:
+    return [
+        os.path.join(_round_dir(root, run_id, rr), name)
+        for rr, name in _seen_chain(root, run_id, r, manifest)
+    ]
 
 
 def bloom_path(root: str, run_id: str, round_no: int) -> str:
@@ -187,12 +254,16 @@ def gc_snapshots(root: str, run_id: str, keep_last: int = 2) -> list[int]:
     """Snapshot retention: delete all but the newest ``keep_last`` COMMITTED
     rounds of a run and return the deleted round numbers.
 
-    Every committed round stores the FULL (frontier, seen) state, so older
-    rounds are redundant for resume — retaining more than one only buys
-    point-in-time rollback.  Uncommitted round dirs (no manifest — a crash
-    mid-write) older than the newest committed round are removed too; a
-    NEWER uncommitted dir is left alone, since it may be a commit in
-    progress.  ``keep_last`` < 1 is rejected — the run must stay resumable.
+    A full-checkpoint round is self-contained; a delta round (seen_mode
+    "delta") needs its ancestor chain down to the nearest full checkpoint
+    to reconstruct the seen set, so every kept round's live chain is
+    protected too — GC can never orphan a resumable round.  Chain length
+    (hence the retention floor) is bounded by the writer's
+    ``seen_checkpoint_every``.  Uncommitted round dirs (no manifest — a
+    crash mid-write) older than the newest committed round are removed
+    too; a NEWER uncommitted dir is left alone, since it may be a commit
+    in progress.  ``keep_last`` < 1 is rejected — the run must stay
+    resumable.
     """
     import shutil
 
@@ -202,6 +273,13 @@ def gc_snapshots(root: str, run_id: str, keep_last: int = 2) -> list[int]:
     if not committed:
         return []
     keep = set(committed[-keep_last:])
+    for k in sorted(keep):
+        d = _round_dir(root, run_id, k)
+        with open(os.path.join(d, MANIFEST)) as f:
+            mf = json.load(f)
+        if mf.get("seen_mode", "full") == "delta":
+            # protect the whole reconstruction chain of this kept round
+            keep.update(rr for rr, _name in _seen_chain(root, run_id, k, mf))
     newest = committed[-1]
     base = os.path.join(root, run_id)
     deleted: list[int] = []

@@ -97,3 +97,49 @@ def test_probe_missing_sidecar_bucket(spark, seen_df, tmp_path):
             assert not r["maybe_seen"]
         else:
             assert r["maybe_seen"]
+
+
+def test_absorb_matches_full_build_byte_exact(spark):
+    """absorb (r5 incremental sidecar) must be BYTE-IDENTICAL to a
+    from-scratch build: bit positions depend only on bitset size, the size
+    rule only on item count, so OR-ing the delta in reproduces build(full)
+    exactly — including across a resize (marker → pruned rebuild path)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import urlnorm
+
+    def mk(lo, hi, tag):
+        return (
+            spark.range(lo, hi)
+            .select(F.xxhash64(F.concat(F.lit(tag), F.col("id"))).alias("url_hash"))
+            .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), 8))
+        )
+
+    parent = mk(0, 3000, "u")
+    for n_delta in (50, 6000):  # no-resize OR path / every-bucket-resize path
+        delta = mk(0, n_delta, "v")
+        full = parent.unionByName(delta)
+        got = {
+            r["bucket"]: (bytes(r["bitset"]), r["n_items"])
+            for r in bloom.absorb(bloom.build(parent), delta, full).collect()
+        }
+        want = {
+            r["bucket"]: (bytes(r["bitset"]), r["n_items"])
+            for r in bloom.build(full).collect()
+        }
+        assert got == want, f"absorb diverged from full build at n_delta={n_delta}"
+
+
+def test_absorb_new_bucket_rebuilds(spark):
+    """A delta landing in a bucket with no previous filter row takes the
+    rebuild path and still matches the full build."""
+    import pandas as pd
+
+    parent = spark.createDataFrame(
+        pd.DataFrame({"url_hash": [10, 20, 30], "bucket": [0, 0, 0]})
+    )
+    delta = spark.createDataFrame(pd.DataFrame({"url_hash": [99], "bucket": [5]}))
+    full = parent.unionByName(delta)
+    got = {r["bucket"]: bytes(r["bitset"]) for r in bloom.absorb(bloom.build(parent), delta, full).collect()}
+    want = {r["bucket"]: bytes(r["bitset"]) for r in bloom.build(full).collect()}
+    assert got == want

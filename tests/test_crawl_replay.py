@@ -508,3 +508,58 @@ def test_filter_version_mismatch_refused(spark, fixtures, tmp_path):
                 spark, seeds_df, pages_df, robots_df, cfg=cfg,
                 snapshot_root=root, run_id="fv", resume=True,
             )
+
+
+def test_seen_checkpoint_cadence_and_gc(spark, fixtures, tmp_path):
+    """seen_checkpoint_every=2: round 0/2 commit full seen, round 1 a delta;
+    gc with keep_last=1 retains a delta round's whole chain; resuming from
+    a delta round reproduces the exact goldens (r5 incremental snapshots)."""
+    import dataclasses
+    import json
+    import os
+
+    from crawlspark import state
+
+    oracle = fixtures[-1]
+    want = sorted(oracle.fetch_log)
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    root = str(tmp_path / "snaps_ckpt")
+
+    # partial run: rounds 0 (full) + 1 (delta)
+    cfg2 = dataclasses.replace(CFG, seen_checkpoint_every=2)
+    part = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df,
+        cfg=dataclasses.replace(cfg2, rounds=2),
+        snapshot_root=root, run_id="ck2",
+    )
+    modes = {}
+    for r in (0, 1):
+        with open(os.path.join(root, "ck2", f"round={r}", state.MANIFEST)) as f:
+            modes[r] = json.load(f)["seen_mode"]
+    assert modes == {0: "full", 1: "delta"}
+    # delta dir written, full seen dir absent on the delta round
+    assert os.path.isdir(os.path.join(root, "ck2", "round=1", "seen_delta"))
+    assert not os.path.exists(os.path.join(root, "ck2", "round=1", "seen"))
+
+    # gc keep_last=1 on a live chain deletes nothing
+    assert state.gc_snapshots(root, "ck2", keep_last=1) == []
+
+    # resume from the delta round and finish: exact goldens
+    rest = crawl.crawl(
+        spark, seeds_df, pages_df, robots_df,
+        cfg=cfg2, snapshot_root=root, run_id="ck2", resume=True,
+    )
+    assert sorted(_fetch_tuples(part) + _fetch_tuples(rest)) == want
+    # round 2 per cadence is a full checkpoint; now gc can reclaim 0-1
+    with open(os.path.join(root, "ck2", "round=2", state.MANIFEST)) as f:
+        assert json.load(f)["seen_mode"] == "full"
+    assert state.gc_snapshots(root, "ck2", keep_last=1) == [0, 1]
+    f2, s2, r2, _ = state.load_snapshot(spark, root, "ck2")
+    assert r2 == 2
+    want_seen = {
+        r["h"]
+        for r in spark.createDataFrame(
+            [(u,) for u in sorted(oracle.seen)], "url string"
+        ).select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert {r["url_hash"] for r in s2.collect()} == want_seen

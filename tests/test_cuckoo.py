@@ -116,3 +116,33 @@ def test_bucket_congruent_hashes_stay_vectorized():
     m = cuckoo._m_entries(n)
     i1 = cuckoo._index1(hashes, m)
     assert len(np.unique(i1)) > m // 2  # v1: exactly 64
+
+
+def test_absorb_no_false_negatives_and_deterministic(spark, seen_df):
+    """absorb (r5 incremental sidecar) inserts the delta in place: the
+    union must probe all-positive (unconditional no-false-negative
+    contract), counts must add exactly, resized buckets must match the
+    sizing a full build would pick, and the result must be deterministic."""
+    import pandas as pd
+
+    seen, hashes = seen_df
+    parent = seen.limit(5_000).localCheckpoint(eager=True)
+    delta = seen.join(parent, ["url_hash"], "left_anti").localCheckpoint(eager=True)
+    full = parent.unionByName(delta)
+    filters = cuckoo.build(parent)
+    rows1 = {r["bucket"]: r for r in cuckoo.absorb(filters, delta, full).collect()}
+    rows2 = {r["bucket"]: r for r in cuckoo.absorb(filters, delta, full).collect()}
+    assert {b: bytes(r["table"]) for b, r in rows1.items()} == {
+        b: bytes(r["table"]) for b, r in rows2.items()
+    }
+    per_bucket_n = {
+        r["bucket"]: r["cnt"] for r in full.groupBy("bucket").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for b, r in rows1.items():
+        assert r["n_items"] == per_bucket_n[b]
+        m = len(bytes(r["table"])) // (2 * cuckoo.SLOTS)
+        assert m == cuckoo._m_entries(r["n_items"]), f"bucket {b} sized off-rule"
+        bh = np.array(
+            [h for h in hashes if (h % 8) == b], dtype=np.int64
+        )
+        assert cuckoo._probe_table(bh, bytes(r["table"]), bytes(r["overflow"])).all()

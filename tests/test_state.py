@@ -116,3 +116,68 @@ def test_gc_snapshots_retention(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         state.gc_snapshots(root, run_id, keep_last=0)
+
+
+def test_delta_chain_roundtrip(spark, small_state, tmp_path):
+    """Rounds commit disjoint seen deltas; load reconstructs the exact
+    union from the nearest full checkpoint + deltas (state.py r5)."""
+    frontier, _ = small_state
+    root = str(tmp_path)
+    full0 = spark.createDataFrame([(i, i % 8) for i in range(10)], "url_hash long, bucket int")
+    d1 = spark.createDataFrame([(i, i % 8) for i in range(10, 17)], "url_hash long, bucket int")
+    d2 = spark.createDataFrame([(i, i % 8) for i in range(17, 25)], "url_hash long, bucket int")
+    state.commit_snapshot(root, "dr", 0, frontier, full0)
+    state.commit_snapshot(root, "dr", 1, frontier, None, seen_delta=d1)
+    state.commit_snapshot(root, "dr", 2, frontier, None, seen_delta=d2)
+    _, s1, _, mf1 = state.load_snapshot(spark, root, "dr", round_no=1)
+    assert mf1["seen_mode"] == "delta"
+    assert sorted(r["url_hash"] for r in s1.collect()) == list(range(17))
+    _, s2, rnd, mf2 = state.load_snapshot(spark, root, "dr")
+    assert rnd == 2 and mf2["seen_mode"] == "delta"
+    assert sorted(r["url_hash"] for r in s2.collect()) == list(range(25))
+    # round 0 itself still loads as a plain full checkpoint
+    _, s0, _, mf0 = state.load_snapshot(spark, root, "dr", round_no=0)
+    assert mf0["seen_mode"] == "full" and s0.count() == 10
+
+
+def test_delta_requires_committed_parent(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    with pytest.raises(ValueError, match="committed parent"):
+        state.commit_snapshot(root, "dp", 0, frontier, None, seen_delta=seen)
+    state.commit_snapshot(root, "dp", 0, frontier, seen)
+    with pytest.raises(ValueError, match="committed parent"):
+        state.commit_snapshot(root, "dp", 5, frontier, None, seen_delta=seen)
+
+
+def test_gc_protects_delta_chain(spark, small_state, tmp_path):
+    """keep_last=1 on a delta chain must retain the whole chain; once a
+    newer full checkpoint exists, the old chain is reclaimable."""
+    frontier, _ = small_state
+    root, run_id = str(tmp_path), "gcd"
+    full = spark.createDataFrame([(1, 0)], "url_hash long, bucket int")
+    delta = spark.createDataFrame([(2, 0)], "url_hash long, bucket int")
+    state.commit_snapshot(root, run_id, 0, frontier, full)
+    for r in (1, 2, 3):
+        state.commit_snapshot(root, run_id, r, frontier, None, seen_delta=delta.withColumn("url_hash", F.lit(r + 1)))
+    assert state.gc_snapshots(root, run_id, keep_last=1) == []  # chain alive
+    assert state.committed_rounds(root, run_id) == [0, 1, 2, 3]
+    state.commit_snapshot(root, run_id, 4, frontier, full)  # new checkpoint
+    state.commit_snapshot(root, run_id, 5, frontier, None, seen_delta=delta)
+    assert state.gc_snapshots(root, run_id, keep_last=1) == [0, 1, 2, 3]
+    assert state.committed_rounds(root, run_id) == [4, 5]
+    _, s5, r5, _ = state.load_snapshot(spark, root, run_id)
+    assert r5 == 5 and s5.count() == 2
+
+
+def test_broken_delta_chain_refused(spark, small_state, tmp_path):
+    import shutil
+
+    frontier, seen = small_state
+    root, run_id = str(tmp_path), "bc"
+    state.commit_snapshot(root, run_id, 0, frontier, seen)
+    state.commit_snapshot(root, run_id, 1, frontier, None, seen_delta=seen)
+    state.commit_snapshot(root, run_id, 2, frontier, None, seen_delta=seen)
+    shutil.rmtree(os.path.join(root, run_id, "round=1"))
+    with pytest.raises(FileNotFoundError, match="chain"):
+        state.load_snapshot(spark, root, run_id, round_no=2)
