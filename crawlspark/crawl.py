@@ -536,11 +536,13 @@ def invalidate_recrawl(
     (cuckoo.remove, one cogrouped pass over only the affected buckets).
 
     Bloom cannot delete: bloom callers get ``(seen', None)`` and the
-    sidecar self-heals at the next snapshot's full rebuild (one |seen|
-    pass) — until then the stale filter only costs extra exact-check
-    traffic, never correctness, because a filter hit is always re-verified
-    by the anti-join (the no-false-negative contract needs the filter to
-    only ever OVER-approximate seen, which a stale filter does).
+    sidecar self-heals when its buckets next rebuild — at a resize in
+    ``bloom.absorb`` (the r5 incremental loop never rescans unresized
+    buckets) or an explicit ``bloom.build(seen')``; until then the stale
+    filter only costs extra exact-check traffic, never correctness,
+    because a filter hit is always re-verified by the anti-join (the
+    no-false-negative contract needs the filter to only ever
+    OVER-approximate seen, which a stale filter does).
 
     Returns ``(seen', filters')`` — filters' is the edited cuckoo sidecar
     DataFrame to write back via cuckoo.write_sidecar, or None for bloom.
