@@ -77,6 +77,14 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument(
+        "--seen-checkpoint-every",
+        type=int,
+        default=None,
+        help="commit the FULL seen table only every Nth round; rounds "
+        "between commit the round's delta (O(batch) snapshot I/O instead "
+        "of O(|seen|)); 1 = full every round (default: 8)",
+    )
+    p.add_argument(
         "--max-frontier-per-host",
         type=int,
         default=None,
@@ -171,6 +179,8 @@ def main(argv: list[str]) -> int:
         kw["max_frontier_per_host"] = args.max_frontier_per_host
     if args.filter_kind:
         kw["filter_kind"] = args.filter_kind
+    if args.seen_checkpoint_every:
+        kw["seen_checkpoint_every"] = args.seen_checkpoint_every
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,
