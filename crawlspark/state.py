@@ -246,6 +246,44 @@ def _seen_chain_paths(root: str, run_id: str, r: int, manifest: dict) -> list[st
     ]
 
 
+def compact_snapshot(spark: SparkSession, root: str, run_id: str) -> int:
+    """Rewrite the newest committed round as a self-contained FULL seen
+    checkpoint, freeing its delta chain for GC.
+
+    A run that stops mid-chain (its newest round is a delta) pins every
+    ancestor down to the last full checkpoint — ``gc_snapshots`` protects
+    them, so minimal single-round retention is unreachable until the next
+    cadence checkpoint.  This offline step reconstructs the newest round's
+    seen set (one multi-path scan), writes it as ``seen/``, atomically
+    flips the manifest to ``seen_mode: "full"`` (write-tmp-then-rename,
+    same commit discipline as commit_snapshot), and removes the round's
+    now-redundant delta dir.  Returns the compacted round number; a run
+    already ending on a full checkpoint is a no-op.  Crash-safe: until the
+    manifest flips, the round still reads as a delta and the chain is
+    intact; after it flips, the full table is already in place.
+    """
+    rounds = committed_rounds(root, run_id)
+    if not rounds:
+        raise FileNotFoundError(f"no committed snapshot for run {run_id} under {root}")
+    r = rounds[-1]
+    d = _round_dir(root, run_id, r)
+    with open(os.path.join(d, MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("seen_mode", "full") != "delta":
+        return r
+    seen = spark.read.parquet(*_seen_chain_paths(root, run_id, r, manifest))
+    seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
+    manifest["seen_mode"] = "full"
+    manifest["lineage"]["seen"] = _dir_lineage(os.path.join(d, "seen"))
+    manifest["lineage"].pop("seen_delta", None)
+    tmp = os.path.join(d, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, MANIFEST))
+    shutil.rmtree(os.path.join(d, "seen_delta"), ignore_errors=True)
+    return r
+
+
 def bloom_path(root: str, run_id: str, round_no: int) -> str:
     return os.path.join(_round_dir(root, run_id, round_no), "bloom")
 

@@ -100,6 +100,13 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "snapshot rounds (full state per round — older rounds only buy "
         "point-in-time rollback)",
     )
+    p.add_argument(
+        "--compact-snapshots",
+        action="store_true",
+        help="with --gc-keep: first rewrite the newest round as a full "
+        "seen checkpoint (state.compact_snapshot) so a run that ended "
+        "mid-delta-chain does not pin its ancestor rounds",
+    )
     p.add_argument("--out", default=None, help="extracted-text sink path")
     p.add_argument(
         "--url-filter",
@@ -212,6 +219,11 @@ def main(argv: list[str]) -> int:
     if args.gc_keep and args.snapshot_root:
         from crawlspark import state
 
+        if args.compact_snapshots:
+            # a run ending mid-chain pins its ancestors; rewrite the newest
+            # round as a full checkpoint first so gc can actually shrink
+            r = state.compact_snapshot(spark, args.snapshot_root, result["run_id"])
+            print(f"snapshot compact: round {r} is now a full checkpoint")
         deleted = state.gc_snapshots(args.snapshot_root, result["run_id"], args.gc_keep)
         print(f"snapshot gc: removed rounds {deleted}, kept newest {args.gc_keep}")
     if args.out:

@@ -181,3 +181,29 @@ def test_broken_delta_chain_refused(spark, small_state, tmp_path):
     shutil.rmtree(os.path.join(root, run_id, "round=1"))
     with pytest.raises(FileNotFoundError, match="chain"):
         state.load_snapshot(spark, root, run_id, round_no=2)
+
+
+def test_compact_snapshot_frees_chain(spark, small_state, tmp_path):
+    """compact_snapshot rewrites the newest delta round as a full
+    checkpoint (same reconstructed set), after which gc keep_last=1 can
+    reclaim the whole ancestor chain (r5 incremental snapshots)."""
+    frontier, _ = small_state
+    root, run_id = str(tmp_path), "cp"
+    full0 = spark.createDataFrame([(i, i % 8) for i in range(10)], "url_hash long, bucket int")
+    d1 = spark.createDataFrame([(i, i % 8) for i in range(10, 17)], "url_hash long, bucket int")
+    d2 = spark.createDataFrame([(i, i % 8) for i in range(17, 25)], "url_hash long, bucket int")
+    state.commit_snapshot(root, run_id, 0, frontier, full0)
+    state.commit_snapshot(root, run_id, 1, frontier, None, seen_delta=d1)
+    state.commit_snapshot(root, run_id, 2, frontier, None, seen_delta=d2)
+    assert state.gc_snapshots(root, run_id, keep_last=1) == []  # chain pinned
+    assert state.compact_snapshot(spark, root, run_id) == 2
+    _, s2, rnd, mf = state.load_snapshot(spark, root, run_id)
+    assert rnd == 2 and mf["seen_mode"] == "full"
+    assert sorted(r["url_hash"] for r in s2.collect()) == list(range(25))
+    assert not os.path.exists(os.path.join(root, run_id, "round=2", "seen_delta"))
+    assert "seen" in mf["lineage"] and "seen_delta" not in mf["lineage"]
+    assert state.gc_snapshots(root, run_id, keep_last=1) == [0, 1]
+    _, s2b, _, _ = state.load_snapshot(spark, root, run_id)
+    assert s2b.count() == 25
+    # idempotent no-op on a full round
+    assert state.compact_snapshot(spark, root, run_id) == 2
