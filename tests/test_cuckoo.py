@@ -146,3 +146,29 @@ def test_absorb_no_false_negatives_and_deterministic(spark, seen_df):
             [h for h in hashes if (h % 8) == b], dtype=np.int64
         )
         assert cuckoo._probe_table(bh, bytes(r["table"]), bytes(r["overflow"])).all()
+
+
+def test_absorb_after_remove_handles_holes(spark, seen_df):
+    """remove punches mid-row holes in slot occupancy; a later absorb must
+    insert into those holes correctly (recrawl workloads interleave
+    invalidation and crawling).  Contract: every live member — parent
+    minus removed plus delta — still probes positive."""
+    import pandas as pd
+
+    seen, hashes = seen_df
+    parent = seen.limit(6_000).localCheckpoint(eager=True)
+    removed = parent.limit(1_500).localCheckpoint(eager=True)
+    kept = parent.join(removed, ["url_hash"], "left_anti")
+    delta = seen.join(parent, ["url_hash"], "left_anti").limit(2_000).localCheckpoint(eager=True)
+    live = kept.unionByName(delta).localCheckpoint(eager=True)
+
+    shrunk = cuckoo.remove(cuckoo.build(parent), removed)
+    absorbed = {r["bucket"]: r for r in cuckoo.absorb(shrunk, delta, live).collect()}
+    live_pdf = live.toPandas()
+    for b, grp in live_pdf.groupby("bucket"):
+        r = absorbed[int(b)]
+        hit = cuckoo._probe_table(
+            grp["url_hash"].to_numpy(dtype=np.int64),
+            bytes(r["table"]), bytes(r["overflow"]),
+        )
+        assert hit.all(), f"false negative after remove+absorb in bucket {b}"
