@@ -36,6 +36,20 @@ _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 # buckets the hash differently even at 30).
 _MEGA_PCT = os.environ.get("CRAWLSPARK_MEGA_PCT")
 
+# Payload-weight knob for the r5 heavy-page scaling bench
+# (tools/heavy_scaling.py): when set, the BASE body word count becomes
+# this value instead of 20 (per-page jitter `+ _h(i) % 60` unchanged), so
+# a page's text/html grow ~N/20× while EVERYTHING the crawl's control
+# flow depends on — hosts, urls, outlinks, captures, langs, timestamps —
+# stays a pure function of the page index and therefore bit-identical to
+# the default corpus of the same page count.  The default fixture's
+# ~600-byte pages understate real Common-Crawl payloads by 1-2 orders of
+# magnitude; this knob restores a realistic per-url compute share without
+# touching crawl semantics (fetch-order digests must match the light
+# corpus — asserted by the bench tool).  Same import-time env contract
+# as _MEGA_PCT above; unset ⇒ bit-identical legacy corpus.
+_BODY_WORDS = int(os.environ.get("CRAWLSPARK_BODY_WORDS", "20"))
+
 
 def _h(*parts) -> int:
     key = ":".join(str(p) for p in (SEED,) + parts)
@@ -87,7 +101,7 @@ def text_of(i: int, c: int) -> str:
     """Ground-truth extracted text for capture c of page i."""
     lang = lang_of(i)
     title = f"Title {lang} {i} c{c}"
-    n_words = 20 + _h(i, "nw") % 60
+    n_words = _BODY_WORDS + _h(i, "nw") % 60
     words = [f"{lang}w{_h(i, 'w', j) % 500}" for j in range(n_words)]
     if _h(i, "amp") % 5 == 0:
         words[0] = "a&b"

@@ -1,0 +1,252 @@
+"""Heavy-payload scaling bench (r5): the north-rule N→4N criterion measured
+at realistic per-url payload weight.
+
+Why this exists: the standard 2M-page fixture averages ~600 bytes of html
+per capture — 1-2 orders of magnitude lighter than real Common-Crawl pages
+— so by late r4 the engine's per-url cost had dropped far enough that a
+16-core run saturates this box's absolute ~33k urls/s ceiling, making a
+raw ≥0.8 ratio at 4→16 cores ARITHMETICALLY unreachable at HEAD on that
+input (BENCH/scaling_r5_250k_head.json documents the bound; the
+same-window pure-JVM control measured 0.529).  The honest fix is not a
+slower engine but a heavier page: ``CRAWLSPARK_BODY_WORDS`` raises the
+generator's base body word count (tests/gen_pages.py) so each page carries
+kilobytes of text/html while EVERY control-flow input — hosts, urls,
+outlinks, captures, langs, timestamps — stays a pure function of the page
+index.  Same job, same crawl DAG, same fetch order; only payload bytes
+change.  The parent asserts exactly that: the fetch-order digest of the
+heavy corpus must be IDENTICAL to the light corpus at equal page count.
+
+Cells run in fresh subprocesses because the knob is read by gen_pages at
+import time and baked into the JVM env at first launch (same contract as
+the skew bench).  min-of-REPS per level, digest pinned once per cell.
+Writes BENCH/scaling_r5_heavy.json.
+
+Usage:
+    python tools/heavy_scaling.py                 # parent: full run -> JSON
+    python tools/heavy_scaling.py --crawl 16      # worker (env already set)
+    python tools/heavy_scaling.py --digest 16     # worker (env already set)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+os.environ["PYTHONPATH"] = (
+    f"{_ROOT}:{os.path.join(_ROOT, 'tests')}:" + os.environ.get("PYTHONPATH", "")
+)
+
+PAGES = int(os.environ.get("CRAWLSPARK_HEAVY_PAGES", "500000"))
+# seed share matches the authoritative 250k-seeds-per-2M-pages density
+SEEDS = int(os.environ.get("CRAWLSPARK_HEAVY_SEEDS", "62500"))
+ROUNDS = int(os.environ.get("CRAWLSPARK_HEAVY_ROUNDS", "3"))
+BODY_WORDS = int(os.environ.get("CRAWLSPARK_HEAVY_BODY_WORDS", "500"))
+REPS = int(os.environ.get("CRAWLSPARK_HEAVY_REPS", "3"))
+LEVELS = [
+    int(x)
+    for x in os.environ.get("CRAWLSPARK_HEAVY_LEVELS", "4,16").split(",")
+]
+OUT = os.path.join(_ROOT, "BENCH", "scaling_r5_heavy.json")
+
+
+def _spark(cores: int):
+    from crawlspark.session import get_spark
+
+    return get_spark(
+        f"heavy-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(16, cores),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+
+
+def _pages_path(body_words: int) -> str:
+    # the light corpus (body_words=20) is generated fresh at this page
+    # count too — the digest check needs both at equal n_pages
+    return os.path.join(_ROOT, "BENCH", "data", f"pages_w{body_words}_{PAGES}")
+
+
+def _cfg(rounds: int):
+    from crawlspark import config
+
+    return config.CrawlConfig(
+        rounds=rounds,
+        round_seconds=200_000.0,
+        max_budget_per_host=1_000_000,
+        n_buckets=64,
+        salt=8,
+        max_depth=10,
+    )
+
+
+def _ensure_pages(spark):
+    import gen_pages as gp
+
+    body_words = int(os.environ.get("CRAWLSPARK_BODY_WORDS", "20"))
+    path = _pages_path(body_words)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gp.pages_df(spark, PAGES, distributed=True).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _digest(fetch_log) -> str:
+    from pyspark.sql import functions as F
+
+    pdf = (
+        fetch_log.orderBy("round", "sched_ts", "host", "url")
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("round").cast("string"),
+                F.col("sched_ts").cast("string"),
+                F.col("host"),
+                F.col("url"),
+            ).alias("k")
+        )
+        .toPandas()
+    )
+    return hashlib.md5("|".join(pdf["k"]).encode()).hexdigest()
+
+
+def worker(cores: int, timed: bool) -> None:
+    import gen_pages as gp
+
+    from crawlspark import crawl
+    from crawlspark.schemas import PAGES_SCHEMA
+    from pyspark.sql import functions as F
+
+    spark = _spark(cores)
+    path = _ensure_pages(spark)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    robots = gp.robots_df(spark)
+
+    from bench import warm_workers
+
+    warm_workers(spark)
+    wseeds = spark.createDataFrame(
+        [(s,) for s in gp.gen_seeds(PAGES, 200)], "url string"
+    )
+    crawl.crawl(spark, wseeds, pages, robots, cfg=_cfg(1))["fetch_log"].count()
+
+    seeds = spark.createDataFrame(
+        [(s,) for s in gp.gen_seeds(PAGES, SEEDS)], "url string"
+    )
+    avg_html = pages.agg(
+        F.avg(F.length("html")).alias("b")
+    ).collect()[0]["b"]
+
+    best = None
+    digest = None
+    for rep in range(REPS if timed else 1):
+        t0 = time.monotonic()
+        result = crawl.crawl(spark, seeds, pages, robots, cfg=_cfg(ROUNDS))
+        n = result["fetch_log"].count()
+        wall = time.monotonic() - t0
+        print(
+            f"  cores={cores} words={os.environ.get('CRAWLSPARK_BODY_WORDS', '20')} "
+            f"rep{rep}: wall={wall:.2f}s urls/s={n / wall:,.0f}",
+            file=sys.stderr,
+        )
+        if best is None or wall < best["wall_sec"]:
+            best = {
+                "wall_sec": round(wall, 2),
+                "n_fetched": n,
+                "urls_per_sec": round(n / wall, 1),
+            }
+        if digest is None:
+            digest = _digest(result["fetch_log"])
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "body_words": int(os.environ.get("CRAWLSPARK_BODY_WORDS", "20")),
+                "avg_html_bytes": round(avg_html, 1),
+                "fetch_digest": digest,
+                **best,
+            }
+        )
+    )
+
+
+def _run_cell(mode: str, cores: int, body_words: int | None) -> dict:
+    env = dict(os.environ)
+    env.pop("CRAWLSPARK_BODY_WORDS", None)
+    if body_words is not None and body_words != 20:
+        env["CRAWLSPARK_BODY_WORDS"] = str(body_words)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode, str(cores)],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=_ROOT,
+    )
+    sys.stderr.write(p.stderr[-4000:])
+    if p.returncode != 0:
+        raise RuntimeError(f"cell {mode} {cores} w={body_words} failed:\n{p.stderr[-4000:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    # 1) identity: heavy corpus must replay the light corpus's exact fetch
+    #    order at equal page count (payload weight is physically, not
+    #    semantically, different).  One untimed run each at the high level.
+    hi = max(LEVELS)
+    light = _run_cell("--digest", hi, None)
+    heavy = _run_cell("--digest", hi, BODY_WORDS)
+    if light["fetch_digest"] != heavy["fetch_digest"]:
+        raise SystemExit(
+            f"fetch-order digest MISMATCH: light={light['fetch_digest']} "
+            f"heavy={heavy['fetch_digest']} — the payload knob leaked into "
+            "crawl semantics"
+        )
+    if light["n_fetched"] != heavy["n_fetched"]:
+        raise SystemExit("n_fetched mismatch between light and heavy corpora")
+
+    # 2) scaling on the heavy corpus, min-of-REPS per level
+    cells = {c: _run_cell("--crawl", c, BODY_WORDS) for c in LEVELS}
+    lo, hi = min(LEVELS), max(LEVELS)
+    t_lo, t_hi = cells[lo]["wall_sec"], cells[hi]["wall_sec"]
+    eff = round((t_lo / t_hi) / (hi / lo), 3)
+    out = {
+        "levels": [lo, hi],
+        f"throughput_{lo}": cells[lo]["urls_per_sec"],
+        f"throughput_{hi}": cells[hi]["urls_per_sec"],
+        f"wall_{lo}": t_lo,
+        f"wall_{hi}": t_hi,
+        "n_fetched": cells[hi]["n_fetched"],
+        "scaling_efficiency": eff,
+        "reps": REPS,
+        "aggregation": "min wall per level",
+        "bench_pages": PAGES,
+        "bench_seeds": SEEDS,
+        "rounds": ROUNDS,
+        "body_words": BODY_WORDS,
+        "avg_html_bytes_heavy": heavy["avg_html_bytes"],
+        "avg_html_bytes_light": light["avg_html_bytes"],
+        "fetch_digest": heavy["fetch_digest"],
+        "digest_identical_to_light_corpus": True,
+        "wall_total_sec": round(time.monotonic() - t_start, 1),
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--crawl":
+        worker(int(sys.argv[2]), timed=True)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--digest":
+        worker(int(sys.argv[2]), timed=False)
+    else:
+        main()
