@@ -165,6 +165,11 @@ class _TextAndLinks(HTMLParser):
 #                   fall back
 
 _ENDTAG_STRICT = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# bare tag name for the attribute-free fast lanes in _fast_scan: a region
+# fullmatch of this between '<'/'</' and the next '>' proves the tag is
+# exactly "<name>"/"</name>", which the strict regexes above accept with
+# empty attr/space/selfclose groups — same span, same semantics
+_PLAIN_NAME = re.compile(r"[a-zA-Z][-.a-zA-Z0-9:_]*")
 _STARTTAG_STRICT = re.compile(
     r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s\"'`<>=]+))?)*)"
@@ -204,8 +209,13 @@ def _fast_scan(
     identical to the HTMLParser collector's — or None when the input
     contains any construct outside the proven-identical subset (caller
     falls back to HTMLParser)."""
-    toks_scoped: list[str] = []
-    toks_all: list[str] = []
+    # Text chunks are buffered as strings and split ONCE at the end:
+    # " ".join(chunks).split() token-equals extending each chunk's split()
+    # (chunks are separated by tags, so the inserted space is a boundary
+    # both ways), and the caller's normal form is " ".join(tokens) anyway.
+    # Scoping is decided per chunk at append time, exactly as before.
+    chunks_scoped: list[str] = []
+    chunks_all: list[str] = []
     links: list[str] = []
     meta_nofollow = meta_noindex = False
     skip = 0
@@ -220,11 +230,9 @@ def _fast_scan(
             if not skip:
                 if "&" in chunk:
                     chunk = unescape(chunk)
-                t = chunk.split()
-                if t:
-                    toks_all.extend(t)
-                    if in_title or in_body:
-                        toks_scoped.extend(t)
+                chunks_all.append(chunk)
+                if in_title or in_body:
+                    chunks_scoped.append(chunk)
             if lt == -1:
                 break
             pos = lt
@@ -248,10 +256,21 @@ def _fast_scan(
                 return None
             pos = end + 1
         elif c == "/":
-            m = _ENDTAG_STRICT.match(s, pos)
-            if not m:
-                return None
-            tag = m.group(1).lower()
+            # attribute-free fast lane: "</name>" with '>' straight after
+            # the name chars — one region fullmatch on the name instead of
+            # the anchored group regex; _ENDTAG_STRICT accepts exactly the
+            # same span (its \s* empty), so behavior is identical and
+            # anything else still goes through the full regex
+            gt = find(">", pos)
+            if gt != -1 and _PLAIN_NAME.fullmatch(s, pos + 2, gt):
+                tag = s[pos + 2 : gt].lower()
+                end_pos = gt + 1
+            else:
+                m = _ENDTAG_STRICT.match(s, pos)
+                if not m:
+                    return None
+                tag = m.group(1).lower()
+                end_pos = m.end()
             if tag in _SKIP_TAGS:
                 if skip > 0:
                     skip -= 1
@@ -259,19 +278,32 @@ def _fast_scan(
                 in_title = False
             elif tag == "body":
                 in_body = False
-            pos = m.end()
+            pos = end_pos
         elif c.isalpha() and c.isascii():
-            m = _STARTTAG_STRICT.match(s, pos)
-            if not m:
-                return None
-            tag = m.group(1).lower()
-            selfclose = m.group(3) == "/"
+            # same fast lane for "<name>": no attrs (src == ""), not
+            # self-closing, end right after the name — the dominant start
+            # tag shape in real markup; _STARTTAG_STRICT matches the same
+            # span with empty groups 2/3
+            gt = find(">", pos)
+            if gt != -1 and _PLAIN_NAME.fullmatch(s, pos + 1, gt):
+                tag = s[pos + 1 : gt].lower()
+                selfclose = False
+                src = ""
+                end_pos = gt + 1
+            else:
+                m = _STARTTAG_STRICT.match(s, pos)
+                if not m:
+                    return None
+                tag = m.group(1).lower()
+                selfclose = m.group(3) == "/"
+                src = m.group(2)
+                end_pos = m.end()
             if tag in _SKIP_TAGS:
                 if selfclose:
                     pass  # startendtag: +1 then -1, no cdata mode
                 else:
                     skip += 1
-                    mm = _CDATA_CLOSE[tag].search(s, m.end())
+                    mm = _CDATA_CLOSE[tag].search(s, end_pos)
                     if not mm:
                         return None
                     me = _ENDTAG_STRICT.match(s, mm.start())
@@ -286,7 +318,6 @@ def _fast_scan(
                 saw_body = True
                 in_body = not selfclose
             elif tag == "a":
-                src = m.group(2)
                 if src:
                     rel = None
                     hrefs = []
@@ -302,7 +333,6 @@ def _fast_scan(
                     ):
                         links.extend(hrefs)
             elif tag == "meta":
-                src = m.group(2)
                 if src:
                     a = {
                         am.group(1).lower(): (_attr_val(am) or "")
@@ -315,13 +345,13 @@ def _fast_scan(
                         }
                         meta_nofollow |= "nofollow" in d or "none" in d
                         meta_noindex |= "noindex" in d or "none" in d
-            pos = m.end()
+            pos = end_pos
         else:
             return None  # bare '<', '<>', '< tag', non-ascii tag start
     if respect and meta_nofollow:
         links = []
     return (
-        toks_scoped if saw_body else toks_all,
+        (" ".join(chunks_scoped) if saw_body else " ".join(chunks_all)).split(),
         links,
         meta_nofollow,
         meta_noindex,
