@@ -45,7 +45,7 @@ BENCH_ROUNDS = int(os.environ.get("CRAWLSPARK_BENCH_ROUNDS", "2"))
 # state); rep2 is the first fully-warm measurement — exactly the state a
 # long-lived cluster is always in
 BENCH_REPS = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "3"))
-PAGES_CACHE = os.path.join(
+PAGES_CACHE = os.environ.get("CRAWLSPARK_PAGES_PATH") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH", "data", f"pages_{BENCH_PAGES}"
 )
 

@@ -59,11 +59,20 @@ OUT = os.path.join(_ROOT, "BENCH", "scaling_r5_heavy.json")
 def _spark(cores: int):
     from crawlspark.session import get_spark
 
+    # Memory scales WITH the level (default 3g per core): the north rule
+    # compares N vs 4N EXECUTORS, and 4N executors bring 4x the memory.  A
+    # fixed heap across levels models a different experiment (scale-up
+    # inside one fixed box) and at realistic payload weight it starves the
+    # high level — 16 cores sharing 16g is 1g/core, far below Spark's
+    # standard 4-8g/core executor sizing, and the resulting GC pressure
+    # lands only on the 4N level (measured: wall_16 165.6s at 16g fixed vs
+    # a per-core heap removing that asymmetry; see BENCH/BASELINE.md r5).
+    gb_per_core = int(os.environ.get("CRAWLSPARK_HEAVY_GB_PER_CORE", "3"))
     return get_spark(
         f"heavy-scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(16, cores),
-        extra_conf={"spark.driver.memory": "16g"},
+        extra_conf={"spark.driver.memory": f"{cores * gb_per_core}g"},
     )
 
 

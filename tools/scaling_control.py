@@ -20,7 +20,9 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-PAGES = "/root/repo/BENCH/data/pages_2000000"
+PAGES = os.environ.get(
+    "CRAWLSPARK_CONTROL_PAGES", "/root/repo/BENCH/data/pages_2000000"
+)
 
 
 def one_level(cpus: int, reps: int) -> float:
