@@ -53,11 +53,20 @@ PAGES_CACHE = os.environ.get("CRAWLSPARK_PAGES_PATH") or os.path.join(
 def _spark(master: str, cpus: int):
     from crawlspark.session import get_spark
 
+    # Heap sizing: the default-mode bench keeps the historical fixed 16g so
+    # BENCH_r{N}.json stays comparable across rounds.  Scaling mode should
+    # instead size the heap PER CORE (CRAWLSPARK_BENCH_GB_PER_CORE): the
+    # north rule compares N vs 4N EXECUTORS, and 4N executors bring 4x the
+    # memory — a fixed heap starves only the high level (measured r5: the
+    # 16-core light-corpus crawl runs 43.2k urls/s at 48g vs the 33.5k
+    # "ceiling" recorded at 16g, digest identical).
+    gb_per_core = os.environ.get("CRAWLSPARK_BENCH_GB_PER_CORE")
+    mem = f"{cpus * int(gb_per_core)}g" if gb_per_core else "16g"
     return get_spark(
         f"crawlspark-bench-{master}",
         master=master,
         shuffle_partitions=max(16, cpus),
-        extra_conf={"spark.driver.memory": "16g"},
+        extra_conf={"spark.driver.memory": mem},
     )
 
 
