@@ -94,3 +94,14 @@ class CrawlConfig:
     debug_sample_fraction: float = float(
         os.environ.get("CRAWLSPARK_DEBUG_SAMPLE", "0.01")
     )
+    # exact-recheck plan for the bloom/cuckoo maybe-seen sliver (r5): True
+    # uses dedup.unseen(small_probe=True) — seen is scanned but NEVER
+    # shuffled (a plain left_anti sort-merge-joins the full 10^10-row seen
+    # table over the network every round; measured 2.4-4.7x at 64M seen).
+    # The sliver is bounded by one round's batch (filter FPs + true
+    # re-links), so the broadcast it requires stays small.  Disable for
+    # workloads whose per-round sliver exceeds ~10M rows AND whose seen
+    # table has a bucketed layout that makes the co-partitioned anti-join
+    # shuffle-free anyway (Iceberg bucket(N, url_hash)).  Result sets are
+    # identical either way (set-algebra identity, replay-tested).
+    sliver_broadcast: bool = True

@@ -178,7 +178,12 @@ def run_round(
             )
             sure_unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
             to_check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            return sure_unseen.unionByName(dedup.unseen(to_check, seen))
+            # the sliver is bounded by one round's batch, so the exact
+            # re-check can broadcast it and leave seen un-shuffled
+            # (cfg.sliver_broadcast; dedup.unseen docstring has the math)
+            return sure_unseen.unionByName(
+                dedup.unseen(to_check, seen, small_probe=cfg.sliver_broadcast)
+            )
         return dedup.unseen(df, seen)
 
     if frontier_unseen:

