@@ -129,6 +129,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "budgets (changes fetch ordering — off by default)",
     )
     p.add_argument(
+        "--no-sliver-broadcast",
+        action="store_true",
+        help="exact-recheck the filter's maybe-seen sliver with a plain "
+        "anti-join (shuffles the full seen table) instead of the default "
+        "broadcast-flip (seen scanned, never shuffled); use when the "
+        "per-round sliver exceeds broadcast size AND seen has a bucketed "
+        "layout (results identical either way)",
+    )
+    p.add_argument(
         "--persist-mode",
         default=None,
         choices=["checkpoint", "disk"],
@@ -188,6 +197,8 @@ def main(argv: list[str]) -> int:
         kw["filter_kind"] = args.filter_kind
     if args.seen_checkpoint_every:
         kw["seen_checkpoint_every"] = args.seen_checkpoint_every
+    if args.no_sliver_broadcast:
+        kw["sliver_broadcast"] = False
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,
