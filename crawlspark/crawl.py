@@ -184,7 +184,11 @@ def run_round(
             return sure_unseen.unionByName(
                 dedup.unseen(to_check, seen, small_probe=cfg.sliver_broadcast)
             )
-        return dedup.unseen(df, seen)
+        # no sidecar: the probe is still bounded by one round's batch on the
+        # loop path (fresh links), so the same flip applies — a standalone
+        # run_round(frontier_unseen=False) caller with a beyond-broadcast
+        # frontier should set sliver_broadcast=False instead
+        return dedup.unseen(df, seen, small_probe=cfg.sliver_broadcast)
 
     if frontier_unseen:
         if cfg.debug_invariants:
