@@ -126,6 +126,33 @@ def main() -> int:
         failures.append(f"schedule: {n_ex} exchanges (expected <= 2)")
     sections.append(("sched.schedule (salted applyInPandas + re-rank)", p4, checks4))
 
+    # 4b. sliver broadcast-flip (r5): the loop's exact seen-recheck must
+    # never SMJ — a plain left_anti would shuffle the full seen table every
+    # round (BENCH/sliver_r5.json: grows 4.7 -> 43.3 s over 8M -> 64M seen)
+    from crawlspark import dedup, urlnorm
+
+    seen_tbl = (
+        frontier.select(F.col("url_hash"))
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), 16))
+    )
+    probe = frontier.limit(50).select("url", "url_hash", "host", "depth").withColumn(
+        "bucket", urlnorm.bucket(F.col("url_hash"), 16)
+    )
+    p4b = plan_of(dedup.unseen(probe, seen_tbl, small_probe=True))
+    checks4b = []
+    if "SortMergeJoin" in p4b:
+        failures.append("sliver recheck: SortMergeJoin in small_probe plan")
+        checks4b.append("FAIL SortMergeJoin present (seen table would shuffle)")
+    else:
+        checks4b.append("OK no SortMergeJoin — seen is scanned, never shuffled")
+    n_bex = p4b.count("BroadcastExchange")
+    if n_bex >= 2:
+        checks4b.append(f"OK both flip sides broadcast ({n_bex} BroadcastExchange)")
+    else:
+        failures.append(f"sliver recheck: {n_bex} BroadcastExchange (expected 2)")
+        checks4b.append(f"FAIL expected 2 BroadcastExchange, saw {n_bex}")
+    sections.append(("dedup.unseen(small_probe=True) (sliver broadcast-flip)", p4b, checks4b))
+
     # 5. registry-query plan spot-checks (round 2): the judge-visible
     # queries must keep their scale-critical shapes
     import __spark_entry__ as entrymod
