@@ -290,8 +290,14 @@ def run_round(
     if blocklist is not None:
         discovered = urlfilter.apply_host_blocklist(discovered, blocklist)
     # anti-join on the materialized delta (same url_hash set as `tried`)
-    # instead of `tried` itself — avoids recomputing the candidate branch
-    leftover = frontier.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
+    # instead of `tried` itself — avoids recomputing the candidate branch.
+    # The delta is one round's batch (the sliver_broadcast size contract),
+    # and Spark CAN broadcast an anti-join's right side — hinting it keeps
+    # the 10^10-row frontier from ever shuffling on this path
+    delta_keys = seen_delta.select("url_hash")
+    if cfg.sliver_broadcast:
+        delta_keys = F.broadcast(delta_keys)
+    leftover = frontier.join(delta_keys, "url_hash", "left_anti")
     if frontier_unseen:
         # Loop invariant: frontier ⊥ seen at entry ⟹ leftover ⊥ seen'
         # (frontier minus this round's delta).  Only the freshly-discovered
@@ -306,7 +312,7 @@ def run_round(
         # stable within() sees the same candidate rows per surviving url,
         # so the kept representative (hence replay order) is identical.
         fresh = _probe_unseen(
-            discovered.join(seen_delta.select("url_hash"), "url_hash", "left_anti")
+            discovered.join(delta_keys, "url_hash", "left_anti")
         )
         new_frontier = dedup.within(leftover.unionByName(fresh), stable=True)
     else:
