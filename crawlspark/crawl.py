@@ -158,6 +158,15 @@ def run_round(
     genuinely need them, this round's freshly-discovered links (below).
     Standalone callers with an arbitrary (frontier, seen) pair keep the
     default ``False`` and the full entry check.
+
+    Under ``cfg.sliver_broadcast`` (default) the flag additionally asserts
+    ``frontier`` is unique per url_hash — also maintained by the loop
+    (every committed frontier' is a within() output; seeds_to_frontier
+    dedups by canonical url) — so the frontier-update dedup can split on
+    the bounded fresh-key set instead of exchanging the full frontier.  A
+    standalone ``frontier_unseen=True`` caller passing duplicate url_hash
+    rows must set ``sliver_broadcast=False`` (the split would let the
+    duplicates survive where within() used to collapse them).
     """
     m: list[DataFrame] = []
     if pages_latest_keys is None:
@@ -314,7 +323,26 @@ def run_round(
         fresh = _probe_unseen(
             discovered.join(delta_keys, "url_hash", "left_anti")
         )
-        new_frontier = dedup.within(leftover.unionByName(fresh), stable=True)
+        if cfg.sliver_broadcast:
+            # within(leftover ∪ fresh) exchanges + sorts the FULL frontier
+            # every round.  Under the loop invariant leftover is already
+            # unique per url_hash (it is last round's within() output minus
+            # the delta), so cross-set duplicates can only involve fresh
+            # keys — a bounded set.  Split on them with broadcast semi/anti
+            # (leftover is scanned, never shuffled), merge only the
+            # colliding rows under the SAME total order: the kept
+            # representative per key is identical (min under a total order
+            # is associative), hence replay-byte-identical.
+            fresh_u = dedup.within(fresh, stable=True)
+            fkeys = F.broadcast(fresh_u.select("url_hash"))
+            lo_hit = leftover.join(fkeys, "url_hash", "left_semi")
+            lo_keep = leftover.join(fkeys, "url_hash", "left_anti")
+            merged = dedup.within(lo_hit.unionByName(fresh_u), stable=True)
+            new_frontier = lo_keep.unionByName(merged).select(*frontier.columns)
+        else:
+            new_frontier = dedup.within(
+                leftover.unionByName(fresh), stable=True
+            )
     else:
         new_frontier = dedup.within(
             leftover.unionByName(discovered), stable=True
