@@ -105,3 +105,15 @@ class CrawlConfig:
     # shuffle-free anyway (Iceberg bucket(N, url_hash)).  Result sets are
     # identical either way (set-algebra identity, replay-tested).
     sliver_broadcast: bool = True
+    # Frontier-update dedup as a broadcast split on the bounded fresh-key
+    # set instead of within(leftover ∪ fresh) — removes the last per-round
+    # O(|frontier|) exchange+sort (the frontier is scanned, never
+    # shuffled), byte-identical by the total-order merge argument
+    # (replay-tested both ways).  Default OFF: at single-node bench scale
+    # (frontier ~1M rows) the extra fresh-key broadcast + second leftover
+    # scan cost ~1.2 s/round more than the exchange they avoid (measured:
+    # crawl 26.89 s off vs 30.52 s on, same window); at 10^10-frontier
+    # cluster scale the exchange is 100s of GB/round and the split wins.
+    # Requires the sliver_broadcast bounded-batch contract AND a frontier
+    # unique per url_hash (the loop maintains both).
+    frontier_split: bool = False

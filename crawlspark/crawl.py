@@ -159,14 +159,15 @@ def run_round(
     Standalone callers with an arbitrary (frontier, seen) pair keep the
     default ``False`` and the full entry check.
 
-    Under ``cfg.sliver_broadcast`` (default) the flag additionally asserts
-    ``frontier`` is unique per url_hash — also maintained by the loop
-    (every committed frontier' is a within() output; seeds_to_frontier
-    dedups by canonical url) — so the frontier-update dedup can split on
-    the bounded fresh-key set instead of exchanging the full frontier.  A
-    standalone ``frontier_unseen=True`` caller passing duplicate url_hash
-    rows must set ``sliver_broadcast=False`` (the split would let the
-    duplicates survive where within() used to collapse them).
+    Under ``cfg.frontier_split`` (off by default) the flag additionally
+    asserts ``frontier`` is unique per url_hash — also maintained by the
+    loop (every committed frontier' is a within() output;
+    seeds_to_frontier dedups by canonical url) — so the frontier-update
+    dedup can split on the bounded fresh-key set instead of exchanging
+    the full frontier.  A standalone ``frontier_unseen=True`` caller
+    passing duplicate url_hash rows must leave ``frontier_split`` off
+    (the split would let the duplicates survive where within() used to
+    collapse them).
     """
     m: list[DataFrame] = []
     if pages_latest_keys is None:
@@ -323,7 +324,7 @@ def run_round(
         fresh = _probe_unseen(
             discovered.join(delta_keys, "url_hash", "left_anti")
         )
-        if cfg.sliver_broadcast:
+        if cfg.frontier_split and cfg.sliver_broadcast:
             # within(leftover ∪ fresh) exchanges + sorts the FULL frontier
             # every round.  Under the loop invariant leftover is already
             # unique per url_hash (it is last round's within() output minus
@@ -332,7 +333,8 @@ def run_round(
             # (leftover is scanned, never shuffled), merge only the
             # colliding rows under the SAME total order: the kept
             # representative per key is identical (min under a total order
-            # is associative), hence replay-byte-identical.
+            # is associative), hence replay-byte-identical.  Default off —
+            # see CrawlConfig.frontier_split for the measured trade.
             fresh_u = dedup.within(fresh, stable=True)
             fkeys = F.broadcast(fresh_u.select("url_hash"))
             lo_hit = leftover.join(fkeys, "url_hash", "left_semi")

@@ -129,6 +129,15 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
         "budgets (changes fetch ordering — off by default)",
     )
     p.add_argument(
+        "--frontier-split",
+        action="store_true",
+        help="dedup the frontier update via a broadcast split on the "
+        "bounded fresh-key set instead of a full-frontier window — the "
+        "frontier is scanned, never shuffled (turn on when the frontier "
+        "dwarfs one round's links, i.e. large-cluster scale; results "
+        "identical either way)",
+    )
+    p.add_argument(
         "--no-sliver-broadcast",
         action="store_true",
         help="exact-recheck the filter's maybe-seen sliver with a plain "
@@ -199,6 +208,8 @@ def main(argv: list[str]) -> int:
         kw["seen_checkpoint_every"] = args.seen_checkpoint_every
     if args.no_sliver_broadcast:
         kw["sliver_broadcast"] = False
+    if args.frontier_split:
+        kw["frontier_split"] = True
     cfg = config.CrawlConfig(
         rounds=args.rounds,
         round_seconds=args.round_seconds,

@@ -101,6 +101,28 @@ def test_replay_matches_oracle(spark, fixtures):
         ), f"text mismatch for {u}"
 
 
+def test_frontier_split_identical(spark, fixtures):
+    """frontier_split=True (the 10^10-scale frontier-update plan: broadcast
+    split on the bounded fresh-key set, frontier scanned never shuffled)
+    must replay the exact fetch order AND seen set of the default
+    full-frontier within() — the total-order merge argument, tested."""
+    import dataclasses
+
+    oracle = fixtures[-1]
+    pages_df, seeds_df, robots_df = fixtures[:3]
+    cfg_split = dataclasses.replace(CFG, frontier_split=True)
+    result = crawl.crawl(spark, seeds_df, pages_df, robots_df, cfg=cfg_split)
+    assert _fetch_tuples(result) == sorted(oracle.fetch_log)
+    got_seen = {r["url_hash"] for r in result["seen"].collect()}
+    want_seen = {
+        r["h"]
+        for r in spark.createDataFrame([(u,) for u in sorted(oracle.seen)], "url string")
+        .select(F.xxhash64("url").alias("h"))
+        .collect()
+    }
+    assert got_seen == want_seen
+
+
 def test_disk_persist_mode_identical(spark, fixtures):
     """persist(DISK_ONLY) materialization (the cluster-grade mode) must
     replay the exact same fetch order as localCheckpoint mode."""
