@@ -26,6 +26,7 @@ replays the identical fetch order and seen set (property-tested).
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
@@ -392,7 +393,9 @@ def crawl(
     contract applies only to the default mode.
 
     Returns {"fetch_log": DF(round, seq, url), "extracted": DF(url, text),
-    "seen": DF, "frontier": DF, "rounds_run": int}.
+    "seen": DF, "frontier": DF, "rounds_run": int,
+    "round_walls": list[float] (driver-measured wall seconds per executed
+    round — flat over a long crawl iff every per-round cost is O(batch))}.
     """
     cfg = cfg or config.CrawlConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -445,6 +448,13 @@ def crawl(
     logs: list[DataFrame] = []
     texts: list[DataFrame] = []
     rounds_run = 0
+    # per-round driver-measured wall seconds (materializations, snapshot
+    # commits and the next-round emptiness check all happen inside the loop
+    # body, so this IS the real per-round cost); consumed by
+    # tools/endurance_bench.py to show round wall tracks BATCH size, not
+    # cumulative |seen| — the composed O(batch) claim the component benches
+    # (snapshot_bench, sliver_bench, filter_bench) prove in isolation
+    round_walls: list[float] = []
     # one full-corpus pass, thin columns only, reused by every round
     pages_latest_keys = _materialize(fetch.latest_keys(pages), cfg.persist_mode)
     # emptiness check on the already-checkpointed frame: isEmpty scans only
@@ -456,6 +466,7 @@ def crawl(
     for r in range(start_round, cfg.rounds):
         if frontier_empty:
             break
+        _round_t0 = time.monotonic()
         out = run_round(
             spark, frontier, seen, pages, robots, r, cfg, sidecar, run_id,
             collect_metrics=snapshot_root is not None,
@@ -544,6 +555,7 @@ def crawl(
                 },
             )
             sidecar = state.bloom_path(snapshot_root, run_id, r)
+        round_walls.append(round(time.monotonic() - _round_t0, 3))
 
     empty_log = spark.createDataFrame(
         [], "round int, sched_ts double, host string, url string"
@@ -561,6 +573,7 @@ def crawl(
         "seen": seen,
         "frontier": frontier,
         "rounds_run": rounds_run,
+        "round_walls": round_walls,
         "run_id": run_id,
     }
 

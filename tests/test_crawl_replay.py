@@ -76,6 +76,11 @@ def test_replay_matches_oracle(spark, fixtures):
     want = sorted(oracle.fetch_log)
     assert got == want
 
+    # per-round wall instrumentation (tools/endurance_bench.py consumer):
+    # one positive wall per executed round
+    assert len(result["round_walls"]) == result["rounds_run"]
+    assert all(w > 0 for w in result["round_walls"])
+
     # seen set: engine stores hashes; map golden urls → xxhash64 via Spark
     got_seen = {r["url_hash"] for r in result["seen"].collect()}
     want_seen = {
