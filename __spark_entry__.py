@@ -17,6 +17,7 @@ round-1's fn_math failed on a BIGINT-vs-DOUBLE floor/ceil mismatch).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1014,11 +1015,17 @@ def mix_corpus(spark, sf):
                 F.when(F.col("is_halved") & F.col("is_kept").isNull(), 1).otherwise(0)
             ).alias("n_viol"),
         )
+        # build the weight column FROM the weights dict (single source of
+        # truth — a hardcoded when-chain here desyncs silently if the dict
+        # above changes); null for a source outside the dict, but the
+        # isin(*weights) filter on `base` makes that unreachable
         .withColumn(
             "w",
-            F.when(F.col("source") == "src0", F.lit(1.0))
-            .when(F.col("source") == "src1", F.lit(0.5))
-            .otherwise(F.lit(0.25)),
+            functools.reduce(
+                lambda acc, kv: acc.when(F.col("source") == kv[0], F.lit(kv[1])),
+                weights.items(),
+                F.when(F.lit(False), F.lit(0.0)),
+            ),
         )
         .select(
             "source",

@@ -166,16 +166,24 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
 
     from crawlspark import textops
 
+    # clean_corpus persists its survivor set (it backs the returned lazy
+    # plan); in this long-lived multi-rep session the cached blocks must be
+    # released after each timed write or they accumulate — the exact leak
+    # class the r4 multimodal_pipeline advice fixed
+    cache_handles: list = []
+
     def _clean_corpus(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return textops.clean_corpus(docs, langs=["en"])
+        return textops.clean_corpus(docs, langs=["en"], cache_handle=cache_handles)
 
     def _clean_corpus_strip(spark, sf_dir):
         # r5: the full modern pipeline — same stages plus the Lee-et-al.
         # exact-substring strip over the survivor set; benched separately
         # so the strip stage's cost at sf0.1 is a recorded delta
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return textops.clean_corpus(docs, langs=["en"], strip_spans=True)
+        return textops.clean_corpus(
+            docs, langs=["en"], strip_spans=True, cache_handle=cache_handles
+        )
 
     qs = dict(entrymod.queries())
     # flagship composite (lang → quality/repetition → exact dedup → MinHash
@@ -201,6 +209,9 @@ def bench_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, float]:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 2)
+            for h in cache_handles:
+                h.unpersist()
+            cache_handles.clear()
             if name not in out or dt < out[name]:
                 out[name] = dt
     return out

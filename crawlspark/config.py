@@ -8,7 +8,7 @@ resume can detect an incompatible layout (SURVEY.md §7 hard-part 3).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 # --- partitioning -----------------------------------------------------------
 # seen/frontier/bloom bucket count.  At 10^10 urls, 4096 buckets =>
@@ -88,11 +88,19 @@ class CrawlConfig:
     # raises instead of silently re-fetching.  Off by default — it adds a
     # (sampled) shuffle per round; turn on via env while debugging a
     # standalone caller that maintains the invariant itself.
-    debug_invariants: bool = os.environ.get("CRAWLSPARK_DEBUG_INVARIANTS", "") == "1"
+    # default_factory, not a plain default: the env is read when a
+    # CrawlConfig is CREATED, so setting the vars after crawlspark is
+    # imported still works, and a malformed CRAWLSPARK_DEBUG_SAMPLE raises
+    # at config construction (loud, local) instead of breaking the import
+    # of every crawlspark module
+    debug_invariants: bool = field(
+        default_factory=lambda: os.environ.get("CRAWLSPARK_DEBUG_INVARIANTS", "")
+        == "1"
+    )
     # sample fraction the guard probes (1.0 = check every row; keep small in
     # production debugging so the extra shuffle stays cheap)
-    debug_sample_fraction: float = float(
-        os.environ.get("CRAWLSPARK_DEBUG_SAMPLE", "0.01")
+    debug_sample_fraction: float = field(
+        default_factory=lambda: float(os.environ.get("CRAWLSPARK_DEBUG_SAMPLE", "0.01"))
     )
     # exact-recheck plan for the bloom/cuckoo maybe-seen sliver (r5): True
     # uses dedup.unseen(small_probe=True) — seen is scanned but NEVER
@@ -117,3 +125,16 @@ class CrawlConfig:
     # Requires the sliver_broadcast bounded-batch contract AND a frontier
     # unique per url_hash (the loop maintains both).
     frontier_split: bool = False
+
+    def __post_init__(self) -> None:
+        # frontier_split piggybacks on sliver_broadcast's bounded-batch
+        # contract; silently falling back to the full-frontier exchange
+        # (what the old `and` guard in crawl.py did) would leave an
+        # operator at cluster scale believing the scan-only plan is active
+        # while every round still shuffles the frontier — refuse loudly.
+        if self.frontier_split and not self.sliver_broadcast:
+            raise ValueError(
+                "frontier_split=True requires sliver_broadcast=True (the "
+                "split's fresh-key set is bounded by the same contract); "
+                "drop --no-sliver-broadcast or --frontier-split"
+            )

@@ -29,9 +29,12 @@ from __future__ import annotations
 
 import gzip
 import io as _iomod
+import logging
 import os
 import zlib
 from datetime import datetime, timezone
+
+_log = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -109,7 +112,12 @@ def _maybe_gunzip(data: bytes) -> bytes:
     Tolerant on purpose: a truncated or corrupt trailing member keeps
     everything decoded before it (``read_warc`` relies on this to salvage
     the prefix of a damaged archive), so this cannot be a plain
-    ``gzip.decompress`` — that raises and loses the prefix.
+    ``gzip.decompress`` — that raises and loses the prefix.  Salvage is
+    never silent: stopping before the end of the byte stream logs a
+    WARNING with the offsets, so partially-ingested archives are visible
+    in executor logs (the read_warc docstring's corrupt-archive contract
+    — gzip-level damage can't reach read_warc's own except-clause because
+    this function absorbs it).
     """
     if not data.startswith(b"\x1f\x8b"):
         return data
@@ -133,8 +141,18 @@ def _maybe_gunzip(data: bytes) -> bytes:
                     break
                 feed = min(feed * 2, _GUNZIP_CHUNK)
         except zlib.error:
+            _log.warning(
+                "corrupt gzip member at byte %d of %d: keeping the %d "
+                "decoded bytes before it",
+                pos, n, sum(len(o) for o in out),
+            )
             break  # corrupt member: keep what already decoded
         if not d.eof or mpos <= pos:
+            _log.warning(
+                "truncated gzip member at byte %d of %d: keeping the %d "
+                "decoded bytes before it",
+                pos, n, sum(len(o) for o in out),
+            )
             break  # truncated final member / no forward progress
         pos = mpos
     return b"".join(out)
@@ -390,8 +408,10 @@ def build_cdx(
     ``read_records_at(warc_root, index)`` joins back.  One row per
     response/resource record (warcinfo/request/metadata members carry no
     page and are skipped); a member holding several records yields one
-    row per record, all sharing the member's (offset, length) — exactly
-    how a range read recovers them.  Plain ``.warc`` files are skipped
+    row per record, all sharing the member's (offset, length) —
+    ``read_records_at`` collapses the duplicates and parses each member
+    exactly once, recovering every record exactly once.  Plain ``.warc``
+    files are skipped
     (no member framing to seek to; read them via ``read_warc`` directly).
     """
     import pandas as pd
@@ -527,8 +547,18 @@ def read_records_at(
             f = open(os.path.join(warc_root, fname), "rb")
         except OSError:
             return pd.DataFrame(columns=["url", "warc_ts", "html", "text", "lang"])
+        # A gzip member holding k records has k index rows sharing the
+        # member's (offset, length) (build_cdx emits one row per record);
+        # each seek parses the WHOLE member, so fetch each member exactly
+        # once or every record in it comes back k times.  All rows of one
+        # member share filename and offset, hence land in this same group
+        # — a local set suffices, no extra shuffle.
+        done: set[tuple[int, int]] = set()
         with f:
             for off, ln in zip(pdf["offset"], pdf["length"]):
+                if (int(off), int(ln)) in done:
+                    continue
+                done.add((int(off), int(ln)))
                 try:
                     f.seek(int(off))
                     blob = f.read(int(ln))

@@ -204,7 +204,10 @@ def main(argv: list[str]) -> int:
         kw["max_frontier_per_host"] = args.max_frontier_per_host
     if args.filter_kind:
         kw["filter_kind"] = args.filter_kind
-    if args.seen_checkpoint_every:
+    # `is not None`, not truthiness: 0 (and 1) mean "full checkpoint every
+    # round" (CrawlConfig treats <= 1 as disabling the delta cadence) and
+    # must not silently fall back to the default cadence
+    if args.seen_checkpoint_every is not None:
         kw["seen_checkpoint_every"] = args.seen_checkpoint_every
     if args.no_sliver_broadcast:
         kw["sliver_broadcast"] = False

@@ -756,3 +756,35 @@ def test_cc_loop_cdx_to_extracted_text(spark, tmp_path):
     assert out["https://a.example/uniq"] == "unique page text"
     dup_url = next(u for u in out if "dup" in u)
     assert out[dup_url] == "same bytes here"
+
+
+def test_multirecord_member_reads_each_record_once(spark, tmp_path):
+    """A gzip member holding SEVERAL records (legal .warc.gz, though Common
+    Crawl writes one record per member): build_cdx emits one row per record
+    all sharing the member's (offset, length), and read_records_at must
+    parse the member ONCE — pre-r5-review it re-parsed the whole member per
+    index row, duplicating every record k times (k rows x k records)."""
+    import gzip as _gzip
+
+    from crawlspark import warc
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    recs = _warc_records(3)
+    warc.write_warc(recs, str(d / "multi.warc"), compress=False)
+    raw = (d / "multi.warc").read_bytes()
+    # one gzip member containing all three records
+    (d / "multi.warc.gz").write_bytes(_gzip.compress(raw))
+    (d / "multi.warc").unlink()
+
+    built = warc.build_cdx(spark, str(d), split_mb=16 / 1024)
+    rows = built.collect()
+    assert len(rows) == 3                                        # row per record
+    assert len({(r["offset"], r["length"]) for r in rows}) == 1  # one member
+
+    out = warc.read_records_at(spark, str(d), built).collect()
+    assert len(out) == 3  # each record exactly once (9 pre-fix)
+    assert sorted(r["url"] for r in out) == sorted(u for u, _, _ in recs)
+    # split path takes the same dedup (all rows of a member share a chunk)
+    out_split = warc.read_records_at(spark, str(d), built, split_mb=0.01).collect()
+    assert len(out_split) == 3

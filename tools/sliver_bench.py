@@ -59,9 +59,14 @@ def main() -> None:
         )
 
     def digest(df):
+        # sort INSIDE the aggregate: collect_list gives no ordering
+        # guarantee after the partial-aggregate merge, and a pre-agg
+        # orderBy does not survive it — array_sort makes the digest a pure
+        # function of the SET, stable across plans/parallelism
         agg = (
-            df.select("url_hash").orderBy("url_hash")
-            .agg(F.xxhash64(F.concat_ws(",", F.collect_list("url_hash"))).alias("d"),
+            df.select("url_hash")
+            .agg(F.xxhash64(F.concat_ws(
+                     ",", F.array_sort(F.collect_list("url_hash")))).alias("d"),
                  F.count("*").alias("n"))
             .collect()[0]
         )
