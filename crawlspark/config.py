@@ -32,6 +32,14 @@ DEFAULT_CRAWL_DELAY = 1.0        # seconds between fetches to one host
 ROUND_SECONDS = 60.0             # wall-clock budget of one crawl round
 MAX_BUDGET_PER_HOST = 10_000     # hard cap independent of crawl_delay
 
+# --- determinism ------------------------------------------------------------
+# THE frontier total order (replay contract): sched ranks hosts' queues by
+# it, dedup.within(stable=True) keeps its min per url_hash, and the
+# frontier_split merge argument in crawl.py relies on both using the SAME
+# order.  One definition — a divergent copy would silently change which
+# representative row survives dedup vs which the scheduler ranks first.
+FRONTIER_ORDER = ("priority", "discovered_round", "depth", "url")
+
 # --- spark tuning -----------------------------------------------------------
 SHUFFLE_PARTITIONS = int(os.environ.get("CRAWLSPARK_SHUFFLE", "32"))
 ARROW_BATCH_ROWS = 10_000        # html rows are fat; keep Arrow batches bounded

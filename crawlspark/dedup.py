@@ -23,9 +23,10 @@ def within(df: DataFrame, stable: bool = False) -> DataFrame:
     """
     if not stable:
         return df.dropDuplicates(["url_hash"])
-    w = Window.partitionBy("url_hash").orderBy(
-        "priority", "discovered_round", "depth", "url"
-    )
+    # config.FRONTIER_ORDER, not a local list: the kept representative must
+    # be the row sched ranks first under the SAME total order (the replay
+    # contract and the frontier_split merge argument both depend on it)
+    w = Window.partitionBy("url_hash").orderBy(*config.FRONTIER_ORDER)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -69,6 +70,14 @@ def unseen(
         else ["url_hash"]
     )
     if small_probe:
+        # No .distinct() on the keys: it would cost an Exchange on the
+        # probe side (the plan audit asserts this path has NO
+        # hashpartitioning exchange at all), and the crawl loop's probe is
+        # already unique per url_hash; duplicate keys from a standalone
+        # caller only fatten the broadcast, never change the semi/anti
+        # membership semantics.  NOTE the probe plan is referenced twice
+        # (key build + final anti-join); a caller whose probe is expensive
+        # to recompute should pin it (persist/localCheckpoint) first.
         probe_keys = frontier.select(*join_cols)
         hits = seen.select(*join_cols).join(
             F.broadcast(probe_keys), join_cols, "left_semi"
@@ -83,13 +92,9 @@ def unseen(
 
 def absorb(seen: DataFrame, new_hashes: DataFrame, n_buckets: int = config.N_BUCKETS) -> DataFrame:
     """C4: seen ∪ newly-fetched, re-bucketed, exactly-once per hash."""
-    new = new_hashes.select(
-        F.col("url_hash").cast("long").alias("url_hash"),
-        urlnorm.bucket(F.col("url_hash"), n_buckets).alias("bucket"),
-    )
     return (
         seen.select("url_hash", "bucket")
-        .unionByName(new)
+        .unionByName(bucketed_hashes(new_hashes, n_buckets))
         .dropDuplicates(["url_hash"])
     )
 

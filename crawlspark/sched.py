@@ -33,7 +33,9 @@ from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 from . import config, polite, urlnorm
 
 # ordering key within a host (must match tests/oracle_crawler.py)
-_HOST_ORDER = ["priority", "discovered_round", "depth", "url"]
+# alias of the shared replay-order constant (see config.FRONTIER_ORDER —
+# dedup.within(stable=True) must keep representatives under the same order)
+_HOST_ORDER = list(config.FRONTIER_ORDER)
 
 
 def _with_budget(

@@ -44,6 +44,25 @@ from . import config
 MANIFEST = "_manifest.json"
 
 
+def _write_manifest(d: str, manifest: dict) -> None:
+    """Durable manifest flip — the commit point.  fsync the file BEFORE the
+    rename and the directory AFTER it: os.replace alone orders only the
+    rename metadata, so a machine crash could journal the rename while the
+    file data is still unflushed, leaving a zero-length _manifest.json that
+    committed_rounds would count as committed (wedging resume AND gc)."""
+    tmp = os.path.join(d, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, MANIFEST))
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _round_dir(root: str, run_id: str, round_no: int) -> str:
     return os.path.join(root, run_id, f"round={round_no}")
 
@@ -101,6 +120,21 @@ def commit_snapshot(
     from concurrent.futures import ThreadPoolExecutor
 
     d = _round_dir(root, run_id, round_no)
+    # ALL side-effect-free validation happens before the destructive rmtree:
+    # a refused commit must leave any previously committed round dir intact
+    # (destroy-then-raise would erase the newest round and break resume)
+    if seen is None and seen_delta is None:
+        raise ValueError(
+            "commit_snapshot needs the full seen table or a seen_delta"
+        )
+    if seen_delta is not None:
+        parent_d = _round_dir(root, run_id, round_no - 1)
+        if round_no <= 0 or not os.path.exists(os.path.join(parent_d, MANIFEST)):
+            raise ValueError(
+                f"delta seen snapshot for round {round_no} requires a "
+                "committed parent round (the delta chain must reach a full "
+                "checkpoint); commit the full seen table instead"
+            )
     if os.path.exists(d):
         shutil.rmtree(d)  # torn previous attempt
     lineage: dict[str, list[dict]] = {}
@@ -111,15 +145,6 @@ def commit_snapshot(
             w = w.partitionBy(partition_by)
         w.parquet(os.path.join(d, name))
         return name
-
-    if seen_delta is not None:
-        parent_d = _round_dir(root, run_id, round_no - 1)
-        if round_no <= 0 or not os.path.exists(os.path.join(parent_d, MANIFEST)):
-            raise ValueError(
-                f"delta seen snapshot for round {round_no} requires a "
-                "committed parent round (the delta chain must reach a full "
-                "checkpoint); commit the full seen table instead"
-            )
 
     jobs: list[tuple[DataFrame, str, str | None]] = [
         (frontier, "frontier", None),
@@ -152,10 +177,7 @@ def commit_snapshot(
         "lineage": lineage,
         **(extra or {}),
     }
-    tmp = os.path.join(d, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(d, MANIFEST))
+    _write_manifest(d, manifest)
     return d
 
 
@@ -168,7 +190,13 @@ def committed_rounds(root: str, run_id: str) -> list[int]:
         if name.startswith("round=") and os.path.exists(
             os.path.join(base, name, MANIFEST)
         ):
-            out.append(int(name.split("=", 1)[1]))
+            # tolerate junk dirs (operator backups like round=3.bak) the
+            # same way torn round dirs are tolerated — skip, don't wedge
+            # resume/gc for the whole run on one unparseable name
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
     return sorted(out)
 
 
@@ -187,6 +215,13 @@ def load_snapshot(
     if not rounds:
         raise FileNotFoundError(f"no committed snapshot for run {run_id} under {root}")
     r = round_no if round_no is not None else rounds[-1]
+    if r not in rounds:
+        # informative refusal instead of a raw open() error — and a torn
+        # dir for round r reads correctly as "uncommitted", not "missing"
+        raise FileNotFoundError(
+            f"round {r} is not committed for run {run_id} "
+            f"(committed: {rounds})"
+        )
     d = _round_dir(root, run_id, r)
     with open(os.path.join(d, MANIFEST)) as f:
         manifest = json.load(f)
@@ -276,10 +311,7 @@ def compact_snapshot(spark: SparkSession, root: str, run_id: str) -> int:
     manifest["seen_mode"] = "full"
     manifest["lineage"]["seen"] = _dir_lineage(os.path.join(d, "seen"))
     manifest["lineage"].pop("seen_delta", None)
-    tmp = os.path.join(d, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(d, MANIFEST))
+    _write_manifest(d, manifest)
     shutil.rmtree(os.path.join(d, "seen_delta"), ignore_errors=True)
     return r
 
@@ -303,8 +335,6 @@ def gc_snapshots(root: str, run_id: str, keep_last: int = 2) -> list[int]:
     in progress.  ``keep_last`` < 1 is rejected — the run must stay
     resumable.
     """
-    import shutil
-
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     committed = committed_rounds(root, run_id)
@@ -324,7 +354,10 @@ def gc_snapshots(root: str, run_id: str, keep_last: int = 2) -> list[int]:
     for name in os.listdir(base):
         if not name.startswith("round="):
             continue
-        r = int(name.split("=", 1)[1])
+        try:
+            r = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # operator junk (round=3.bak): never gc, never wedge
         is_committed = r in committed
         if r in keep or (not is_committed and r > newest):
             continue

@@ -207,3 +207,47 @@ def test_compact_snapshot_frees_chain(spark, small_state, tmp_path):
     assert s2b.count() == 25
     # idempotent no-op on a full round
     assert state.compact_snapshot(spark, root, run_id) == 2
+
+
+def test_refused_commit_preserves_existing_round(spark, small_state, tmp_path):
+    """r5 review: validation must precede the destructive rmtree — a
+    REFUSED delta commit over an already-committed round dir previously
+    erased that round first (data loss + unresumable run)."""
+    frontier, seen = small_state
+    root = str(tmp_path)
+    state.commit_snapshot(root, "run1", 0, frontier, seen)
+    delta = spark.createDataFrame([(1000, 0)], "url_hash long, bucket int")
+    # round 0 can never be a delta (no parent) -> must refuse...
+    with pytest.raises(ValueError, match="committed parent"):
+        state.commit_snapshot(root, "run1", 0, frontier, None, seen_delta=delta)
+    # ...and the committed round 0 must still load
+    _f, _s, rnd, _mf = state.load_snapshot(spark, root, "run1")
+    assert rnd == 0
+    # seen=None with no delta is an explicit error, also pre-rmtree
+    with pytest.raises(ValueError, match="seen"):
+        state.commit_snapshot(root, "run1", 0, frontier, None)
+    assert state.load_snapshot(spark, root, "run1")[2] == 0
+
+
+def test_junk_round_dirs_tolerated(spark, small_state, tmp_path):
+    """Operator junk like round=0.bak must not wedge resume or gc."""
+    import shutil as _sh
+
+    frontier, seen = small_state
+    root = str(tmp_path)
+    d0 = state.commit_snapshot(root, "run1", 0, frontier, seen)
+    state.commit_snapshot(root, "run1", 1, frontier, seen)
+    _sh.copytree(d0, os.path.join(root, "run1", "round=0.bak"))
+    assert state.committed_rounds(root, "run1") == [0, 1]
+    assert state.load_snapshot(spark, root, "run1")[2] == 1
+    deleted = state.gc_snapshots(root, "run1", keep_last=1)
+    assert deleted == [0]
+    assert os.path.isdir(os.path.join(root, "run1", "round=0.bak"))  # untouched
+
+
+def test_load_snapshot_uncommitted_round_informative(spark, small_state, tmp_path):
+    frontier, seen = small_state
+    root = str(tmp_path)
+    state.commit_snapshot(root, "run1", 0, frontier, seen)
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        state.load_snapshot(spark, root, "run1", round_no=7)
