@@ -15,6 +15,8 @@ codegen, no Python, no per-row regex compilation.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -141,14 +143,39 @@ def with_rules(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def budget_col(round_seconds: float, max_budget: int) -> Column:
-    """Token budget per host per round from its crawl delay."""
-    return F.least(
+def budget_col(
+    round_seconds: float, max_budget: int, round_no: int | None = None
+) -> Column:
+    """Token budget per host per round from its crawl delay.
+
+    The divisor is clamped to ≥1e-9: a structured robots row carrying
+    ``crawl_delay: 0`` means "no delay declared" and gets the max_budget
+    cap instead of killing the round with ANSI DIVIDE_BY_ZERO (the raw
+    robots.txt path already sanitizes 0/negative/non-finite at parse).
+
+    ``round_no`` enables slow-host pacing: a host whose declared delay
+    EXCEEDS the round window used to be clamped to 1 fetch per round —
+    violating its own crawl-delay by up to orders of magnitude (the F3
+    gaps() audit flags exactly this).  With round_no given, such a host is
+    fetched once every ``ceil(delay / round_seconds)`` rounds (budget 0 on
+    the off-rounds; its urls simply stay in the frontier), so consecutive
+    fetches sit ≥ delay apart.  Hosts with delay ≤ round_seconds are
+    unaffected — identical budgets, identical replay.
+    """
+    delay = F.greatest(F.col("crawl_delay"), F.lit(1e-9))
+    base = F.least(
         F.lit(max_budget),
-        F.greatest(
-            F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
-        ),
-    ).cast("int")
+        F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / delay)),
+    )
+    if round_no is None:
+        return base.cast("int")
+    k = F.ceil(delay / F.lit(float(round_seconds))).cast("long")
+    gated = F.when(F.lit(int(round_no)) % k == 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        F.when(F.col("crawl_delay") > F.lit(float(round_seconds)), gated)
+        .otherwise(base)
+        .cast("int")
+    )
 
 
 # ------------------------------------------------------ robots.txt parsing
@@ -210,9 +237,17 @@ def parse_robots_one(txt: str | None, agent: str = "crawlspark") -> dict:
             )
         elif field == "crawl-delay":
             try:
-                cur["delay"] = float(value)
+                dv = float(value)
             except ValueError:
                 pass
+            else:
+                # sanity-gate: 'Crawl-delay: 0' (common in the wild),
+                # negatives, inf and nan are treated as NOT declared — a 0
+                # reaching budget_col's divisor would kill the round under
+                # ANSI mode, and inf/nan would turn sched_ts into NaN,
+                # corrupting the deterministic replay order
+                if math.isfinite(dv) and dv > 0:
+                    cur["delay"] = dv
 
     # RFC 9309 §2.2.1: if more than one group matches the agent at the
     # winning specificity (e.g. two separate ``User-agent: *`` groups),
@@ -293,7 +328,17 @@ def robots_from_text(
     The fetched-robots ingestion path: raw robots.txt bodies (one per host,
     e.g. joined from the pages corpus or a dedicated fetch) parsed into the
     declarative rules table every other politeness operator consumes.
+
+    Output is guaranteed ONE row per host (duplicate captures collapse to
+    the lexicographically-greatest body — deterministic; prefer
+    ``robots_raw_from_pages`` for latest-by-timestamp semantics): the
+    rules table broadcast-LEFT-joins the frontier, so duplicate host rows
+    would multiply frontier urls into double-scheduled fetches and break
+    the seen-delta disjointness invariant.
     """
+    raw = raw.groupBy(F.col(host_col).alias(host_col)).agg(
+        F.max(F.col(body_col)).alias(body_col)
+    )
     parsed = raw.select(
         F.col(host_col).alias("host"),
         make_parse_robots_udf(agent)(F.col(body_col)).alias("__p"),
@@ -361,8 +406,30 @@ def robots_sitemaps(
     )
 
 
-def gaps(fetch_log: DataFrame, ts_col: str = "sched_ts") -> DataFrame:
-    """F3: politeness audit — inter-fetch gap per host must be ≥ crawl_delay."""
+def gaps(
+    fetch_log: DataFrame,
+    ts_col: str = "sched_ts",
+    robots: DataFrame | None = None,
+    default_crawl_delay: float = config.DEFAULT_CRAWL_DELAY,
+) -> DataFrame:
+    """F3: politeness audit — inter-fetch gap per host must be ≥ crawl_delay.
+
+    A PERSISTED fetch log (FETCH_LOG_SCHEMA: round, sched_ts, host, url)
+    carries no crawl_delay column — pass ``robots`` and the per-host delay
+    is broadcast-joined in (unknown hosts get ``default_crawl_delay``),
+    so the audit runs on snapshots, not just in-memory schedule output.
+    """
+    if "crawl_delay" not in fetch_log.columns:
+        if robots is None:
+            raise ValueError(
+                "fetch_log has no crawl_delay column; pass robots= so the "
+                "audit can join the per-host delay in"
+            )
+        dim = F.broadcast(robots.select("host", "crawl_delay"))
+        fetch_log = fetch_log.join(dim, "host", "left").withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(float(default_crawl_delay))),
+        )
     w = Window.partitionBy("host").orderBy(ts_col)
     return fetch_log.withColumn(
         "gap", F.col(ts_col) - F.lag(ts_col).over(w)

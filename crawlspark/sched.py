@@ -44,9 +44,10 @@ def _with_budget(
     max_budget: int,
     reputation: DataFrame | None = None,
     rep_floor: float = 0.1,
+    round_no: int | None = None,
 ) -> DataFrame:
     df = frontier.withColumn(
-        "budget", polite.budget_col(round_seconds, max_budget)
+        "budget", polite.budget_col(round_seconds, max_budget, round_no)
     )
     if reputation is None:
         return df
@@ -61,7 +62,10 @@ def _with_budget(
         .withColumn(
             "budget",
             F.when(
-                F.col("__rep").isNotNull(),
+                # a slow-host pacing 0 (budget_col round_no gating) must
+                # survive reputation scaling — greatest(1, …) would bump
+                # the off-round back to a delay-violating fetch
+                F.col("__rep").isNotNull() & (F.col("budget") > 0),
                 F.greatest(
                     F.lit(1),
                     F.floor(
@@ -94,7 +98,7 @@ def schedule_window(
 ) -> DataFrame:
     """F1+F2: rank per host, cut to budget, assign sched_ts.  Pure windows."""
     w = Window.partitionBy("host").orderBy(*_HOST_ORDER)
-    df = _with_budget(frontier, round_seconds, max_budget)
+    df = _with_budget(frontier, round_seconds, max_budget, round_no=round_no)
     return (
         df.withColumn("host_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("host_rank") <= F.col("budget"))
@@ -119,7 +123,9 @@ def schedule(
     ``reputation`` (host, rep) scales each known host's budget — see
     :func:`_with_budget` / :func:`host_reputation`.
     """
-    df = _with_budget(frontier, round_seconds, max_budget, reputation).withColumn(
+    df = _with_budget(
+        frontier, round_seconds, max_budget, reputation, round_no=round_no
+    ).withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(salt)).cast("int")
     )
 
@@ -445,8 +451,15 @@ def reputation_priorities(
     (host, rep) — tiny next to the frontier — and broadcast.
     """
     rep = F.broadcast(reputation.select("host", "rep"))
+    # reuse the frontier's host column when present (FRONTIER_SCHEMA
+    # guarantees it) — re-deriving it is a per-row regexp over what is a
+    # 10^10-row table at design scale, for a value the builder already has
+    if "host" in frontier.columns:
+        keyed = frontier.select("url", "host")
+    else:
+        keyed = frontier.select("url", urlnorm.host(F.col("url")).alias("host"))
     return (
-        frontier.select("url", urlnorm.host(F.col("url")).alias("host"))
+        keyed
         .join(rep, "host")
         .select(
             "url",

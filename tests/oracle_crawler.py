@@ -118,9 +118,20 @@ def crawl_oracle(
         scheduled: list[tuple[float, str, str, int]] = []  # (ts, host, url, depth)
         for host, items in by_host.items():
             delay = items[0][4]
-            budget = min(
-                max_budget_per_host, max(1, math.floor(round_seconds / delay))
-            )
+            # mirrors polite.budget_col(round_no=...): a host whose delay
+            # exceeds the round window is fetched once every
+            # ceil(delay/round_seconds) rounds (budget 0 off-round) so
+            # consecutive fetches sit >= delay apart; divisor clamped like
+            # the engine's ANSI-div guard
+            if delay > round_seconds:
+                budget = 1 if r % math.ceil(delay / round_seconds) == 0 else 0
+            else:
+                budget = min(
+                    max_budget_per_host,
+                    max(1, math.floor(round_seconds / max(delay, 1e-9))),
+                )
+            if budget == 0:
+                continue
             best = heapq.nsmallest(budget, [(p, dr, d, u) for p, dr, d, u, _ in items])
             for k, (_p, _dr, depth, url) in enumerate(best):
                 ts = r * round_seconds + k * delay

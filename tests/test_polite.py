@@ -323,3 +323,33 @@ def test_parser_keeps_wildcard_rules():
     body = "User-agent: *\nDisallow: /*.php$\nAllow: /fish*\n"
     got = polite.parse_robots_one(body)
     assert {r["pattern"] for r in got["rules"]} == {"/*.php$", "/fish*"}
+
+
+def test_insane_crawl_delays_not_declared():
+    """r5 review: 0 / negative / inf / nan crawl-delays are treated as not
+    declared (0 would ANSI-divide-by-zero the round; inf/nan turn sched_ts
+    into NaN, corrupting the deterministic replay order)."""
+    for bad in ("0", "-1", "inf", "nan", "1e999"):
+        p = polite.parse_robots_one(
+            f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n"
+        )
+        assert p["crawl_delay"] is None, bad
+    ok = polite.parse_robots_one("User-agent: *\nCrawl-delay: 2.5\n")
+    assert ok["crawl_delay"] == 2.5
+
+
+def test_robots_from_text_collapses_duplicate_hosts(spark):
+    """r5 review: duplicate host captures used to emit duplicate rules
+    rows, which the broadcast left-join would multiply into
+    double-scheduled frontier urls; one deterministic row per host now."""
+    raw = spark.createDataFrame(
+        [("dup.example", "User-agent: *\nCrawl-delay: 1\n"),
+         ("dup.example", "User-agent: *\nCrawl-delay: 9\n"),
+         ("solo.example", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    rows = polite.robots_from_text(raw).collect()
+    assert len(rows) == 2
+    by = {r["host"]: r["crawl_delay"] for r in rows}
+    # lexicographically-greatest body wins deterministically
+    assert by["dup.example"] == 9.0 and by["solo.example"] == 2.0

@@ -421,3 +421,70 @@ def test_global_seq_ntile_edge_inputs(spark):
     out1, total1 = sched.global_seq(one, ["id"])
     assert total1 == 1 and out1.collect()[0]["seq"] == 1
     assert sched.global_ntile(one, 4, ["id"]).collect()[0]["tile"] == 1
+
+
+def _mini_frontier(spark, host, n, delay):
+    urls = [f"https://{host}/p/{i}" for i in range(n)]
+    return (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(
+            "url",
+            urlnorm.url_hash(F.col("url")).alias("url_hash"),
+            F.lit(host).alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("discovered_round"),
+        )
+        .withColumn("bucket", urlnorm.bucket(F.col("url_hash"), config.N_BUCKETS))
+        .withColumn("crawl_delay", F.lit(float(delay)))
+    )
+
+
+def test_zero_crawl_delay_does_not_kill_the_round(spark):
+    """r5 review: 'Crawl-delay: 0' in a structured robots row used to hit
+    ANSI DIVIDE_BY_ZERO inside budget_col and abort the whole round; now it
+    means 'no delay declared' -> max_budget cap."""
+    f = _mini_frontier(spark, "zero.example", 5, 0.0)
+    out = sched.schedule_window(f, round_no=0, round_seconds=60.0, max_budget=3)
+    assert out.count() == 3  # capped by max_budget, no crash
+
+
+def test_slow_host_paced_across_rounds(spark):
+    """r5 review: delay > round_seconds used to clamp to 1 fetch EVERY
+    round (gap = round_seconds << declared delay).  Now the host is
+    fetched once every ceil(delay/round_seconds) rounds, so consecutive
+    fetches sit >= delay apart; both schedule twins agree."""
+    f = _mini_frontier(spark, "slow.example", 4, 150.0)  # k = ceil(150/60) = 3
+    per_round = []
+    logs = []
+    for r in range(4):
+        w = sched.schedule_window(f, round_no=r, round_seconds=60.0)
+        s = sched.schedule(f, round_no=r, round_seconds=60.0)
+        rows_w = w.collect()
+        assert len(rows_w) == s.count()  # salted twin agrees
+        per_round.append(len(rows_w))
+        logs.extend((r, x["sched_ts"]) for x in rows_w)
+    assert per_round == [1, 0, 0, 1]
+    ts = sorted(t for _, t in logs)
+    assert ts[1] - ts[0] >= 150.0  # the declared delay is honored
+
+
+def test_gaps_audit_runs_on_persisted_fetch_log_shape(spark):
+    """r5 review: FETCH_LOG_SCHEMA has no crawl_delay column; gaps() now
+    joins it from robots instead of failing UNRESOLVED_COLUMN."""
+    log = spark.createDataFrame(
+        [(0, 60.0, "h.example", "https://h.example/a"),
+         (0, 60.4, "h.example", "https://h.example/b"),
+         (0, 61.0, "k.example", "https://k.example/a")],
+        "round int, sched_ts double, host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h.example", 0.5)], "host string, crawl_delay double"
+    )
+    out = polite.gaps(log, robots=robots).collect()
+    viol = {r["url"]: r["violates"] for r in out}
+    assert viol["https://h.example/b"] is True   # 0.4 gap < 0.5 delay
+    assert viol["https://h.example/a"] is False  # first fetch, no gap
+    assert viol["https://k.example/a"] is False  # unknown host -> default 1.0, first fetch
+    with pytest.raises(ValueError, match="crawl_delay"):
+        polite.gaps(log)
